@@ -1,0 +1,86 @@
+"""Frame CDF context: default tables + per-symbol adaptation (spec §8.4).
+
+Tables load from data/default_cdfs.npz (normative defaults, coefficient
+tables per qindex class).  A CdfContext holds mutable copies for one tile;
+update() implements the spec's CDF adaptation rule (disabled when the frame
+sets disable_cdf_update).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+_DATA = Path(__file__).parent / "data" / "default_cdfs.npz"
+
+# coefficient CDF qindex classes (EbCabacContextModel.c:2270)
+
+
+def q_ctx(base_qindex: int) -> int:
+    if base_qindex <= 20:
+        return 0
+    if base_qindex <= 60:
+        return 1
+    if base_qindex <= 120:
+        return 2
+    return 3
+
+
+_COEF_FIELDS = ("txb_skip_cdf", "eob_extra_cdf", "dc_sign_cdf",
+                "eob_flag_cdf16", "eob_flag_cdf32", "eob_flag_cdf64",
+                "eob_flag_cdf128", "eob_flag_cdf256", "eob_flag_cdf512",
+                "eob_flag_cdf1024", "coeff_base_eob_cdf", "coeff_base_cdf",
+                "coeff_br_cdf")
+
+_NSYMBS2SPEED = [0, 0, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2]
+
+
+@lru_cache(maxsize=None)
+def _npz():
+    return np.load(_DATA)
+
+
+class CdfContext:
+    """Mutable per-tile CDF set.  Attribute access returns the ndarray whose
+    last axis is [icdf_0..icdf_{n-1}, counter] (icdf[n-1] == 0)."""
+
+    def __init__(self, base_qindex: int, update: bool = False):
+        d = _npz()
+        qc = q_ctx(base_qindex)
+        self.update_enabled = update
+        self._t = {}
+        for k in d.files:
+            if k.startswith("raw_"):
+                continue
+            arr = d[k].astype(np.uint16)
+            if k in _COEF_FIELDS:
+                arr = arr[qc]
+            self._t[k] = arr.copy()
+
+    def __getattr__(self, name):
+        try:
+            return self._t[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def update(self, cdf: np.ndarray, val: int) -> None:
+        """AV1 CDF adaptation (libaom update_cdf); cdf is a 1D slice
+        [n icdf values + counter]."""
+        if not self.update_enabled:
+            return
+        nsymbs = len(cdf) - 1
+        count = int(cdf[nsymbs])
+        rate = 3 + (count > 15) + (count > 31) + _NSYMBS2SPEED[nsymbs]
+        tmp = 32768
+        for i in range(nsymbs - 1):
+            if i == val:
+                tmp = 0
+            c = int(cdf[i])
+            if tmp < c:
+                cdf[i] = c - ((c - tmp) >> rate)
+            else:
+                cdf[i] = c + ((tmp - c) >> rate)
+        if count < 32:
+            cdf[nsymbs] = count + 1

@@ -23,6 +23,24 @@ def adjusted_tx_wh(tx_size: int):
     return min(TX_W[tx_size], 32), min(TX_H[tx_size], 32)
 
 
+_SQ_OF = {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}
+
+
+def txsize_sqr(tx_size: int) -> int:
+    """Square TX of the smaller dimension."""
+    return _SQ_OF[min(TX_W[tx_size], TX_H[tx_size])]
+
+
+def txsize_sqr_up(tx_size: int) -> int:
+    """Square TX of the larger dimension."""
+    return _SQ_OF[max(TX_W[tx_size], TX_H[tx_size])]
+
+
+def txs_ctx(tx_size: int) -> int:
+    """Coefficient-coding size context (EbEntropyCoding.c:492)."""
+    return (txsize_sqr(tx_size) + txsize_sqr_up(tx_size) + 1) >> 1
+
+
 def tx_scale_shift(tx_size: int) -> int:
     """Dequant downshift: 0/1/2 by tx area (EbCoefficients.h:2575)."""
     pels = TX_W[tx_size] * TX_H[tx_size]
