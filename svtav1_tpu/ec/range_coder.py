@@ -69,9 +69,15 @@ class RangeEncoder:
 
     # -- public -------------------------------------------------------------
 
-    def encode_symbol(self, s: int, icdf) -> None:
-        """Encode symbol s with inverse-CDF table (icdf[last] == 0)."""
-        nsyms = len(icdf)
+    def encode_symbol(self, s: int, icdf, nsyms: int | None = None) -> None:
+        """Encode symbol s with inverse-CDF table.
+
+        `icdf` is a CDF slice in storage layout: nsyms icdf entries
+        (icdf[nsyms-1] == 0) followed by one adaptation counter; nsyms
+        defaults to len(icdf) - 1.
+        """
+        if nsyms is None:
+            nsyms = len(icdf) - 1
         self.encode_q15(icdf[s - 1] if s > 0 else CDF_PROB_TOP,
                         int(icdf[s]), s, nsyms)
 
@@ -150,9 +156,12 @@ class RangeDecoder:
         if self.cnt < 0:
             self._refill()
 
-    def decode_symbol(self, icdf) -> int:
+    def decode_symbol(self, icdf, nsyms: int | None = None) -> int:
+        """Mirror of encode_symbol; icdf layout includes the counter slot."""
+        if nsyms is None:
+            nsyms = len(icdf) - 1
         dif, r = self.dif, self.rng
-        n = len(icdf) - 1
+        n = nsyms - 1
         c = dif >> (WINDOW - 16)
         v = r
         ret = -1

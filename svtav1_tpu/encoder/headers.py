@@ -1,0 +1,244 @@
+"""AV1 sequence / frame header writers (spec §5.5, §5.9).
+
+Reference behavior: write_sequence_header / write_uncompressed_header_obu in
+/root/reference/Source/Lib/Encoder/Codec/EbEntropyCoding.c:2791,3309.  We emit
+*standard* AV1 (the fork's grafted CCSO sequence bit is only written in its
+nonstandard `ccso` mode — see spec/ccso notes); conformance bar is decode by
+dav1d/libaom, the same oracle the reference e2e suite uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..utils.bitio import BitWriter
+from ..utils.obu import (OBU_FRAME, OBU_SEQUENCE_HEADER,
+                         OBU_TEMPORAL_DELIMITER, wrap_obu)
+
+
+@dataclass
+class SequenceConfig:
+    width: int
+    height: int
+    bit_depth: int = 8
+    seq_level_idx: int = 8          # 4.0
+    seq_profile: int = 0
+    use_128x128_sb: bool = False
+    enable_filter_intra: bool = False
+    enable_intra_edge_filter: bool = False
+    enable_order_hint: bool = False
+    order_hint_bits: int = 7
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    enable_superres: bool = False
+    monochrome: bool = False
+    ccso_fork_mode: bool = False    # fork-compat nonstandard bit (§2.6 SURVEY)
+
+    @property
+    def frame_width_bits(self) -> int:
+        return max((self.width - 1).bit_length(), 1)
+
+    @property
+    def frame_height_bits(self) -> int:
+        return max((self.height - 1).bit_length(), 1)
+
+    @property
+    def sb_size(self) -> int:
+        return 128 if self.use_128x128_sb else 64
+
+
+@dataclass
+class FrameConfig:
+    frame_type: int = 0             # KEY_FRAME
+    show_frame: bool = True
+    base_q_idx: int = 100
+    disable_cdf_update: bool = True
+    tx_mode_select: bool = False    # False → TX_MODE_LARGEST
+    reduced_tx_set: bool = True
+    allow_screen_content_tools: bool = False
+    filter_level: tuple = (0, 0)
+
+
+def write_sequence_header_obu(cfg: SequenceConfig) -> bytes:
+    w = BitWriter()
+    w.f(cfg.seq_profile, 3)
+    w.bit(0)                        # still_picture
+    w.bit(0)                        # reduced_still_picture_header
+    w.bit(0)                        # timing_info_present_flag
+    w.bit(0)                        # initial_display_delay_present_flag
+    w.f(0, 5)                       # operating_points_cnt_minus_1
+    w.f(0, 12)                      # operating_point_idc[0]
+    w.f(cfg.seq_level_idx, 5)
+    if cfg.seq_level_idx > 7:
+        w.bit(0)                    # seq_tier[0]
+
+    w.f(cfg.frame_width_bits - 1, 4)
+    w.f(cfg.frame_height_bits - 1, 4)
+    w.f(cfg.width - 1, cfg.frame_width_bits)
+    w.f(cfg.height - 1, cfg.frame_height_bits)
+
+    w.bit(0)                        # frame_id_numbers_present_flag
+    w.bit(1 if cfg.use_128x128_sb else 0)
+    w.bit(1 if cfg.enable_filter_intra else 0)
+    w.bit(1 if cfg.enable_intra_edge_filter else 0)
+    w.bit(0)                        # enable_interintra_compound
+    w.bit(0)                        # enable_masked_compound
+    w.bit(0)                        # enable_warped_motion
+    w.bit(0)                        # enable_dual_filter
+    w.bit(1 if cfg.enable_order_hint else 0)
+    if cfg.enable_order_hint:
+        w.bit(0)                    # enable_jnt_comp
+        w.bit(0)                    # enable_ref_frame_mvs
+    w.bit(0)                        # seq_choose_screen_content_tools
+    w.bit(0)                        # seq_force_screen_content_tools = 0
+    if cfg.enable_order_hint:
+        w.f(cfg.order_hint_bits - 1, 3)
+    w.bit(1 if cfg.enable_superres else 0)
+    w.bit(1 if cfg.enable_cdef else 0)
+    w.bit(1 if cfg.enable_restoration else 0)
+    if cfg.ccso_fork_mode:
+        w.bit(1)                    # fork's grafted enable_ccso (nonstandard)
+
+    # color_config
+    w.bit(1 if cfg.bit_depth == 10 else 0)   # high_bitdepth
+    w.bit(1 if cfg.monochrome else 0)
+    w.bit(0)                        # color_description_present_flag
+    if cfg.monochrome:
+        w.bit(0)                    # color_range
+    else:
+        w.bit(0)                    # color_range
+        # profile 0: 4:2:0 implied; chroma_sample_position
+        w.f(0, 2)                   # CSP_UNKNOWN
+        w.bit(0)                    # separate_uv_delta_q
+
+    w.bit(0)                        # film_grain_params_present
+
+    # trailing bits
+    w.bit(1)
+    w.byte_align()
+    return wrap_obu(OBU_SEQUENCE_HEADER, w.data())
+
+
+def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
+                       for_obu_frame: bool = True) -> BitWriter:
+    """Uncompressed frame header bits for a KEY intra frame (no refs)."""
+    w = BitWriter()
+    w.bit(0)                        # show_existing_frame
+    w.f(fr.frame_type, 2)
+    w.bit(1 if fr.show_frame else 0)
+    # error_resilient_mode: KEY+show → inferred, not coded
+    if not (fr.frame_type == 0 and fr.show_frame):
+        raise NotImplementedError("only shown key frames in round-1 slice")
+    w.bit(1 if fr.disable_cdf_update else 0)
+    # allow_screen_content_tools: seq_force==0 → inferred 0
+    w.bit(0)                        # frame_size_override_flag
+    if seq.enable_order_hint:
+        w.f(0, seq.order_hint_bits)  # order_hint
+    # refresh_frame_flags: KEY+show → inferred 0xFF
+
+    # frame_size: override 0 → max size; superres disabled at seq → skip
+    if seq.enable_superres:
+        w.bit(0)                    # use_superres
+    w.bit(0)                        # render_and_frame_size_different
+
+    # allow_intrabc: only if allow_screen_content_tools
+    # tile_info
+    sb = seq.sb_size
+    sb_cols = (seq.width + sb - 1) // sb
+    sb_rows = (seq.height + sb - 1) // sb
+    _write_tile_info(w, sb_cols, sb_rows, sb)
+
+    # quantization_params
+    w.f(fr.base_q_idx, 8)
+    w.bit(0)                        # delta_q_y_dc present
+    if not seq.monochrome:
+        # separate_uv_delta_q=0 → no diff_uv_delta
+        w.bit(0)                    # delta_q_u_dc
+        w.bit(0)                    # delta_q_u_ac
+    w.bit(0)                        # using_qmatrix
+
+    # segmentation_params
+    w.bit(0)                        # segmentation_enabled
+
+    # delta_q_params
+    if fr.base_q_idx > 0:
+        w.bit(0)                    # delta_q_present
+    # delta_lf only if delta_q_present
+
+    # loop_filter_params (CodedLossless false, allow_intrabc false)
+    w.f(fr.filter_level[0], 6)
+    w.f(fr.filter_level[1], 6)
+    if not seq.monochrome and (fr.filter_level[0] or fr.filter_level[1]):
+        w.f(0, 6)                   # filter_level_u
+        w.f(0, 6)                   # filter_level_v
+    w.f(0, 3)                       # sharpness
+    w.bit(0)                        # loop_filter_delta_enabled
+
+    # cdef_params: skipped (enable_cdef=0)
+    if seq.enable_cdef:
+        raise NotImplementedError
+    # lr_params: skipped (enable_restoration=0)
+    if seq.enable_restoration:
+        raise NotImplementedError
+
+    # read_tx_mode
+    w.bit(1 if fr.tx_mode_select else 0)
+    # frame_reference_mode: intra → skip; skip_mode: not allowed → skip
+    # allow_warped_motion: intra → skip
+    w.bit(1 if fr.reduced_tx_set else 0)
+    # global_motion: intra → skip; film grain: not present → skip
+    return w
+
+
+def _write_tile_info(w: BitWriter, sb_cols: int, sb_rows: int, sb: int):
+    """Single-tile uniform tile info (spec §5.9.15)."""
+    sb_shift = 7 if sb == 128 else 6
+    sb_size_log2 = sb_shift
+    max_tile_width_sb = 4096 >> sb_size_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size_log2)
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+
+    w.bit(1)                        # uniform_tile_spacing_flag
+    # tile_cols_log2: target = min_log2_tile_cols (fewest tiles)
+    tile_cols_log2 = min_log2_tile_cols
+    for _ in range(tile_cols_log2 - min_log2_tile_cols):
+        w.bit(1)
+    if tile_cols_log2 < max_log2_tile_cols:
+        w.bit(0)
+    min_log2_tile_rows = max(min_log2_tiles - tile_cols_log2, 0)
+    tile_rows_log2 = min_log2_tile_rows
+    for _ in range(tile_rows_log2 - min_log2_tile_rows):
+        w.bit(1)
+    if tile_rows_log2 < max_log2_tile_rows:
+        w.bit(0)
+    if tile_cols_log2 > 0 or tile_rows_log2 > 0:
+        # context_update_tile_id + tile_size_bytes
+        w.f(0, tile_cols_log2 + tile_rows_log2)
+        w.f(3, 2)                   # tile_size_bytes_minus_1
+    return (1 << tile_cols_log2), (1 << tile_rows_log2)
+
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+def assemble_key_frame(seq: SequenceConfig, fr: FrameConfig,
+                       tile_payload: bytes, first: bool = True) -> bytes:
+    """TD + (sequence header if first) + OBU_FRAME(frame hdr + tile group)."""
+    out = wrap_obu(OBU_TEMPORAL_DELIMITER, b"")
+    if first:
+        out += write_sequence_header_obu(seq)
+    hdr = write_frame_header(seq, fr)
+    hdr.byte_align()
+    # tile group: single tile → no tile_start_and_end_present bit, just
+    # byte-aligned tile data
+    payload = hdr.data() + tile_payload
+    out += wrap_obu(OBU_FRAME, payload)
+    return out

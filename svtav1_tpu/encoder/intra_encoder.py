@@ -1,0 +1,347 @@
+"""All-intra AV1 encoder — the minimum end-to-end slice (SURVEY.md §7 phase 3).
+
+Architecture (TPU-native, not a port of the reference's SRM pipeline):
+  1. Device stage: mode decision + conformant reconstruction as batched jitted
+     ops over anti-diagonal wavefronts of 32x32 blocks (the wavefront replaces
+     the reference's EncDec segment FIFOs, EbEncDecProcess.c:3266).
+     Every candidate mode is evaluated with the real normative ops
+     (fwd/inv transform, quant) so the chosen levels/recon are bit-final.
+  2. Host stage: tile entropy coding in SB z-order with full AV1 neighbor
+     contexts (reference: EbEntropyCoding.c write path), headers, IVF.
+
+Round-1 scope: 8-bit 4:2:0, single tile, fixed-QP, 64x64 SBs force-split to
+32x32 luma blocks (TX 32x32 DCT, no tx-type signaling), smooth/DC/V/H/PAETH
+mode family.  Output is standard AV1 decodable by dav1d/libaom.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ec import modes as M
+from ..ec.coeffs import write_coeffs_txb
+from ..ec.range_coder import RangeEncoder
+from ..ops import intra
+from ..ops.quant import dequantize, quantize
+from ..ops.transforms import add_residual_clip, fwd_txfm2d, inv_txfm2d
+from ..spec import tables as tbl
+from ..spec.cdf import CdfContext
+from ..spec.txfm import TX_16X16, TX_32X32, DCT_DCT
+from .headers import FrameConfig, SequenceConfig, assemble_key_frame
+
+BLK = 32          # luma block size
+CBLK = 16         # chroma block size (4:2:0)
+SB = 64
+
+# candidate modes evaluated everywhere (directional pack comes next round)
+CAND_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED, intra.SMOOTH_PRED,
+              intra.SMOOTH_V_PRED, intra.SMOOTH_H_PRED, intra.PAETH_PRED)
+
+
+@dataclass
+class EncoderConfig:
+    width: int
+    height: int
+    qindex: int = 100
+    bit_depth: int = 8
+
+
+def _lambda(qindex: int) -> float:
+    dc, ac = tbl.qindex_to_dq(qindex, 8)
+    return 0.035 * float(ac) * float(ac) / 16.0
+
+
+def _mode_step(tx_size: int, qindex: int, n: int,
+               cand_modes=CAND_MODES):
+    """Build the jitted per-diagonal step: evaluate all candidate modes on a
+    batch of blocks, pick the best, return (mode_idx, levels, recon)."""
+
+    lam = _lambda(qindex)
+
+    @jax.jit
+    def step(src, above, left, corner, have_above, have_left):
+        # src [b, n, n]; above [b, n]; left [b, n]; corner [b]
+        # have_* [b] bool — already folded into substituted edges except DC
+        best_cost = None
+        best = None
+        for mi, mode in enumerate(cand_modes):
+            if mode == intra.DC_PRED:
+                # availability-aware DC: 4 variants blended by flags
+                p_both = intra.dc_pred(above, left, True, True)
+                p_top = intra.dc_pred(above, left, True, False)
+                p_left = intra.dc_pred(above, left, False, True)
+                p_none = intra.dc_pred(above, left, False, False)
+                ha = have_above[:, None, None]
+                hl = have_left[:, None, None]
+                pred = jnp.where(
+                    ha & hl, p_both,
+                    jnp.where(ha, p_top, jnp.where(hl, p_left, p_none)))
+            else:
+                pred = intra.predict(mode, above, left, corner)
+            resid = src - pred
+            coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, 8)
+            lev = quantize(coeff, tx_size, qindex, 8)
+            dq = dequantize(lev, tx_size, qindex, 8)
+            rres = inv_txfm2d(dq, tx_size, DCT_DCT, 8)
+            recon = add_residual_clip(pred, rres, 8)
+            sse = jnp.sum((src - recon) ** 2, axis=(-1, -2)).astype(jnp.float32)
+            nnz = jnp.sum(lev != 0, axis=(-1, -2)).astype(jnp.float32)
+            lvl_bits = jnp.sum(jnp.log2(1.0 + jnp.abs(lev).astype(jnp.float32)),
+                               axis=(-1, -2))
+            rate = 40.0 + 8.0 * nnz + 2.0 * lvl_bits
+            cost = sse + lam * rate
+            pack = (jnp.full(cost.shape, mi, jnp.int32), lev, recon)
+            if best is None:
+                best_cost, best = cost, pack
+            else:
+                take = cost < best_cost
+                best_cost = jnp.where(take, cost, best_cost)
+                best = tuple(
+                    jnp.where(take.reshape((-1,) + (1,) * (b.ndim - 1)), nb, b)
+                    for nb, b in zip(pack, best))
+        return best
+
+    return step
+
+
+def _build_edges(recon: np.ndarray, rs, cs, bs: int, bd: int = 8):
+    """Gather substituted above/left/corner edges for blocks at rows rs*bs,
+    cols cs*bs from the recon plane (normative substitution rules,
+    EbDecIntraPrediction.c:325-408)."""
+    n = len(rs)
+    above = np.empty((n, bs), np.int32)
+    left = np.empty((n, bs), np.int32)
+    corner = np.empty(n, np.int32)
+    base = 1 << (bd - 1)
+    for i, (r, c) in enumerate(zip(rs, cs)):
+        y, x = r * bs, c * bs
+        ha, hl = r > 0, c > 0
+        if ha:
+            above[i] = recon[y - 1, x:x + bs]
+        elif hl:
+            above[i] = recon[y, x - 1]          # left_ref[0]
+        else:
+            above[i] = base - 1
+        if hl:
+            left[i] = recon[y:y + bs, x - 1]
+        elif ha:
+            left[i] = recon[y - 1, x]           # above_ref[0]
+        else:
+            left[i] = base + 1
+        if ha and hl:
+            corner[i] = recon[y - 1, x - 1]
+        elif ha:
+            corner[i] = recon[y - 1, x]
+        elif hl:
+            corner[i] = recon[y, x - 1]
+        else:
+            corner[i] = base
+    return above, left, corner
+
+
+def _encode_plane(plane: np.ndarray, bs: int, step,
+                  cand_modes=CAND_MODES) -> tuple:
+    """Wavefront over the plane; returns (modes [bh,bw], levels [bh,bw,bs,bs],
+    recon plane)."""
+    h, w = plane.shape
+    bh, bw = h // bs, w // bs
+    recon = np.zeros((h, w), np.int32)
+    modes = np.zeros((bh, bw), np.int32)
+    levels = np.zeros((bh, bw, bs, bs), np.int32)
+    src = plane.astype(np.int32)
+
+    for d in range(bh + bw - 1):
+        rs = np.array([r for r in range(max(0, d - bw + 1), min(bh, d + 1))])
+        cs = d - rs
+        above, left, corner = _build_edges(recon, rs, cs, bs)
+        blocks = np.stack([src[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs]
+                           for r, c in zip(rs, cs)])
+        mi, lev, rec = step(jnp.asarray(blocks), jnp.asarray(above),
+                            jnp.asarray(left), jnp.asarray(corner),
+                            jnp.asarray(rs > 0), jnp.asarray(cs > 0))
+        mi, lev, rec = np.asarray(mi), np.asarray(lev), np.asarray(rec)
+        for i, (r, c) in enumerate(zip(rs, cs)):
+            modes[r, c] = cand_modes[mi[i]]
+            levels[r, c] = lev[i]
+            recon[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs] = rec[i]
+    return modes, levels, recon
+
+
+class IntraEncoder:
+    def __init__(self, cfg: EncoderConfig):
+        if cfg.width % SB or cfg.height % SB:
+            raise NotImplementedError("round-1 slice: dims multiple of 64")
+        self.cfg = cfg
+        self.seq = SequenceConfig(cfg.width, cfg.height, cfg.bit_depth)
+        self._y_step = _mode_step(TX_32X32, cfg.qindex, BLK)
+        # chroma: DC only this round (single signaled uv mode)
+        self._c_step = _mode_step(TX_16X16, cfg.qindex, CBLK,
+                                  (intra.DC_PRED,))
+        self._c_modes = (intra.DC_PRED,)
+        self._first = True
+
+    # ------------------------------------------------------------------ #
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        cfg = self.cfg
+        y_modes, y_levels, y_rec = _encode_plane(y, BLK, self._y_step)
+        u_modes, u_levels, u_rec = _encode_plane(u, CBLK, self._c_step,
+                                                 self._c_modes)
+        v_modes, v_levels, v_rec = _encode_plane(v, CBLK, self._c_step,
+                                                 self._c_modes)
+        tile = self._encode_tile(y_modes, y_levels, u_levels, v_levels,
+                                 u_modes)
+        fr = FrameConfig(base_q_idx=cfg.qindex)
+        obus = assemble_key_frame(self.seq, fr, tile, first=self._first)
+        self._first = False
+        return obus, (y_rec, u_rec, v_rec)
+
+    # ------------------------------------------------------------------ #
+
+    def _encode_tile(self, y_modes, y_levels, u_levels, v_levels, uv_modes):
+        cfg = self.cfg
+        mi_cols = cfg.width // 4
+        mi_rows = cfg.height // 4
+        sb_cols = cfg.width // SB
+        sb_rows = cfg.height // SB
+
+        enc = RangeEncoder()
+        cdf = CdfContext(cfg.qindex, update=False)
+
+        # neighbor state
+        above_part = np.zeros(mi_cols, np.uint8)
+        skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        above_cul = {0: np.zeros(cfg.width // 4, np.uint8),
+                     1: np.zeros(cfg.width // 8, np.uint8),
+                     2: np.zeros(cfg.width // 8, np.uint8)}
+        above_avail = {p: np.zeros_like(above_cul[p], bool) for p in range(3)}
+
+        part_above_v, part_left_v = M.partition_ctx_value(BLK, BLK)
+
+        for sb_r in range(sb_rows):
+            left_part = np.zeros(SB // 4, np.uint8)
+            left_cul = {0: np.zeros(SB // 4, np.uint8),
+                        1: np.zeros(SB // 8, np.uint8),
+                        2: np.zeros(SB // 8, np.uint8)}
+            left_avail = {p: np.zeros_like(left_cul[p], bool)
+                          for p in range(3)}
+            for sb_c in range(sb_cols):
+                # 64x64: forced PARTITION_SPLIT
+                mi_r, mi_c = sb_r * 16, sb_c * 16
+                ctx = M.partition_plane_ctx(int(above_part[mi_c]),
+                                            int(left_part[0]), SB)
+                M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
+                for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    br = sb_r * 2 + qr       # 32x32 block coords
+                    bc = sb_c * 2 + qc
+                    bmi_r = br * 8
+                    bmi_c = bc * 8
+                    ctx = M.partition_plane_ctx(
+                        int(above_part[bmi_c]), int(left_part[qr * 8]), BLK)
+                    M.write_partition(enc, cdf, ctx, M.PARTITION_NONE, BLK)
+
+                    self._encode_block(
+                        enc, cdf, br, bc, y_modes, y_levels, u_levels,
+                        v_levels, uv_modes, skip_grid, mode_grid, above_cul,
+                        left_cul, above_avail, left_avail, sb_r)
+
+                    # partition ctx update for the 32x32 leaf
+                    above_part[bmi_c:bmi_c + 8] = part_above_v
+                    left_part[qr * 8:qr * 8 + 8] = part_left_v
+        return enc.done()
+
+    def _encode_block(self, enc, cdf, br, bc, y_modes, y_levels, u_levels,
+                      v_levels, uv_modes, skip_grid, mode_grid, above_cul,
+                      left_cul, above_avail, left_avail, sb_r):
+        mi_r, mi_c = br * 8, bc * 8
+        mi_rows, mi_cols = skip_grid.shape
+        have_above = mi_r > 0
+        have_left = mi_c > 0
+
+        y_mode = int(y_modes[br, bc])
+        uv_mode = intra.DC_PRED
+        y_lev = y_levels[br, bc]
+        u_lev = u_levels[br, bc]
+        v_lev = v_levels[br, bc]
+        skip = int(not (y_lev.any() or u_lev.any() or v_lev.any()))
+
+        # skip flag
+        a_skip = int(skip_grid[mi_r - 1, mi_c]) if have_above else 0
+        l_skip = int(skip_grid[mi_r, mi_c - 1]) if have_left else 0
+        M.write_skip(enc, cdf, a_skip + l_skip, skip)
+
+        # kf y mode
+        a_mode = int(mode_grid[mi_r - 1, mi_c]) if have_above else 0
+        l_mode = int(mode_grid[mi_r, mi_c - 1]) if have_left else 0
+        M.write_kf_y_mode(enc, cdf, a_mode, l_mode, y_mode)
+        if M.is_directional(y_mode):
+            M.write_angle_delta(enc, cdf, y_mode, 0)
+
+        # uv mode (cfl allowed at 32x32)
+        M.write_uv_mode(enc, cdf, True, y_mode, uv_mode)
+        if M.is_directional(uv_mode):
+            M.write_angle_delta(enc, cdf, uv_mode, 0)
+
+        # residual: y, u, v txbs
+        if not skip:
+            for plane, lev, txs in ((0, y_lev, TX_32X32), (1, u_lev, TX_16X16),
+                                    (2, v_lev, TX_16X16)):
+                shift = 0 if plane == 0 else 1
+                units = (BLK >> shift) // 4
+                au0 = (bc * BLK >> shift) // 4
+                lu0 = ((br * BLK >> shift) // 4) % (16 >> shift)
+                if plane == 0:
+                    txb_skip_ctx = 0
+                else:
+                    a_nz = (above_cul[plane][au0:au0 + units] &
+                            0x3F)[above_avail[plane][au0:au0 + units]]
+                    l_nz = (left_cul[plane][lu0:lu0 + units] &
+                            0x3F)[left_avail[plane][lu0:lu0 + units]]
+                    ctx_base = int((a_nz != 0).any()) + int((l_nz != 0).any())
+                    txb_skip_ctx = 7 + ctx_base
+                dc_sign_ctx = self._dc_sign_ctx(
+                    above_cul[plane][au0:au0 + units],
+                    above_avail[plane][au0:au0 + units],
+                    left_cul[plane][lu0:lu0 + units],
+                    left_avail[plane][lu0:lu0 + units])
+                cul = write_coeffs_txb(
+                    enc, cdf, lev, txs, DCT_DCT, min(plane, 1),
+                    txb_skip_ctx, dc_sign_ctx)
+                above_cul[plane][au0:au0 + units] = cul
+                above_avail[plane][au0:au0 + units] = True
+                left_cul[plane][lu0:lu0 + units] = cul
+                left_avail[plane][lu0:lu0 + units] = True
+        else:
+            # skip resets entropy contexts to 0
+            for plane in range(3):
+                shift = 0 if plane == 0 else 1
+                units = (BLK >> shift) // 4
+                au0 = (bc * BLK >> shift) // 4
+                lu0 = ((br * BLK >> shift) // 4) % (16 >> shift)
+                above_cul[plane][au0:au0 + units] = 0
+                above_avail[plane][au0:au0 + units] = True
+                left_cul[plane][lu0:lu0 + units] = 0
+                left_avail[plane][lu0:lu0 + units] = True
+
+        # mi-grid updates
+        skip_grid[mi_r:mi_r + 8, mi_c:mi_c + 8] = skip
+        mode_grid[mi_r:mi_r + 8, mi_c:mi_c + 8] = y_mode
+
+    @staticmethod
+    def _dc_sign_ctx(a_cul, a_avail, l_cul, l_avail) -> int:
+        signs = 0
+        for culs, avail in ((a_cul, a_avail), (l_cul, l_avail)):
+            for c, av in zip(culs, avail):
+                if av:
+                    s = int(c) >> 6
+                    signs += (1 if s == 2 else (-1 if s == 1 else 0))
+        if signs > 0:
+            return 2
+        if signs < 0:
+            return 1
+        return 0

@@ -18,7 +18,8 @@ def _replay(ops, cdfs, cdflens):
     for kind, v, aux in ops:
         if kind == 0:
             n = cdflens[ci]
-            icdf = cdfs[off:off + n]
+            icdf = np.concatenate([cdfs[off:off + n],
+                                   np.zeros(1, cdfs.dtype)])
             off += n
             ci += 1
             enc.encode_symbol(int(v), icdf)
