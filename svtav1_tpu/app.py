@@ -1,0 +1,77 @@
+"""SvtAv1TpuEncApp equivalent: Y4M in → AV1 IVF out.
+
+Mirrors the reference CLI surface (Source/App/EncApp/EbAppMain.c) at the
+subset the framework currently supports; grows with the encoder.
+
+Usage: python -m svtav1_tpu.app -i in.y4m -b out.ivf [-q 100] [-n frames]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: int = 255) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="svtav1_tpu")
+    p.add_argument("-i", "--input", required=True, help="input .y4m")
+    p.add_argument("-b", "--output", required=True, help="output .ivf")
+    p.add_argument("-q", "--qp", type=int, default=100,
+                   help="base qindex 0-255")
+    p.add_argument("-n", "--frames", type=int, default=0,
+                   help="max frames (0 = all)")
+    p.add_argument("--no-cdf-update", action="store_true")
+    p.add_argument("--stat-report", action="store_true")
+    args = p.parse_args(argv)
+
+    from .encoder.intra_encoder import EncoderConfig, IntraEncoder
+    from .utils.ivf import IvfWriter
+    from .utils.y4m import Y4mReader
+
+    with open(args.input, "rb") as fin:
+        rdr = Y4mReader(fin)
+        info = rdr.info
+        if info.bit_depth != 8 or info.subsampling != "420":
+            print("round-1 supports 8-bit 4:2:0 only", file=sys.stderr)
+            return 1
+        enc = IntraEncoder(EncoderConfig(
+            info.width, info.height, qindex=args.qp,
+            cdf_update=not args.no_cdf_update))
+        t0 = time.perf_counter()
+        n = 0
+        total_bytes = 0
+        psnrs = []
+        with open(args.output, "wb") as fout:
+            ivf = IvfWriter(fout, info.width, info.height,
+                            info.fps_den, info.fps_num)
+            for y, u, v in rdr.frames():
+                payload, (ry, ru, rv) = enc.encode_frame(y, u, v)
+                ivf.write_frame(payload, n)
+                total_bytes += len(payload)
+                if args.stat_report:
+                    psnrs.append((psnr(y, ry), psnr(u, ru), psnr(v, rv)))
+                n += 1
+                if args.frames and n >= args.frames:
+                    break
+            ivf.finalize()
+        dt = time.perf_counter() - t0
+        fps = n / dt if dt else 0
+        kbps = total_bytes * 8 * info.fps_num / info.fps_den / max(n, 1) / 1000
+        print(f"encoded {n} frames in {dt:.2f}s ({fps:.2f} fps), "
+              f"{kbps:.1f} kbps")
+        if psnrs:
+            m = np.mean(psnrs, axis=0)
+            print(f"PSNR Y {m[0]:.2f} U {m[1]:.2f} V {m[2]:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,6 +54,7 @@ class FrameConfig:
     base_q_idx: int = 100
     disable_cdf_update: bool = True
     tx_mode_select: bool = False    # False → TX_MODE_LARGEST
+    disable_frame_end_update_cdf: bool = True
     reduced_tx_set: bool = True
     allow_screen_content_tools: bool = False
     filter_level: tuple = (0, 0)
@@ -142,6 +143,8 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
     w.bit(0)                        # render_and_frame_size_different
 
     # allow_intrabc: only if allow_screen_content_tools
+    if not fr.disable_cdf_update:
+        w.bit(1 if fr.disable_frame_end_update_cdf else 0)
     # tile_info
     sb = seq.sb_size
     sb_cols = (seq.width + sb - 1) // sb

@@ -48,6 +48,7 @@ class EncoderConfig:
     height: int
     qindex: int = 100
     bit_depth: int = 8
+    cdf_update: bool = True
 
 
 def _lambda(qindex: int) -> float:
@@ -195,7 +196,8 @@ class IntraEncoder:
                                                  self._c_modes)
         tile = self._encode_tile(y_modes, y_levels, u_levels, v_levels,
                                  u_modes)
-        fr = FrameConfig(base_q_idx=cfg.qindex)
+        fr = FrameConfig(base_q_idx=cfg.qindex,
+                         disable_cdf_update=not cfg.cdf_update)
         obus = assemble_key_frame(self.seq, fr, tile, first=self._first)
         self._first = False
         return obus, (y_rec, u_rec, v_rec)
@@ -210,7 +212,7 @@ class IntraEncoder:
         sb_rows = cfg.height // SB
 
         enc = RangeEncoder()
-        cdf = CdfContext(cfg.qindex, update=False)
+        cdf = CdfContext(cfg.qindex, update=cfg.cdf_update)
 
         # neighbor state
         above_part = np.zeros(mi_cols, np.uint8)
