@@ -32,6 +32,7 @@ from ..spec import tables as tbl
 from ..spec.cdf import CdfContext
 from ..spec.txfm import TX_16X16, TX_32X32, DCT_DCT
 from .headers import FrameConfig, SequenceConfig, assemble_key_frame
+from .wavefront import encode_plane_wavefront
 
 BLK = 32          # luma block size
 CBLK = 16         # chroma block size (4:2:0)
@@ -188,19 +189,38 @@ class IntraEncoder:
     # ------------------------------------------------------------------ #
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        payloads, recons = self.encode_frames([(y, u, v)])
+        return payloads[0], recons[0]
+
+    def encode_frames(self, frames):
+        """Batched all-intra encode: device wavefront over the whole batch in
+        one dispatch per plane; host entropy codes each frame."""
         cfg = self.cfg
-        y_modes, y_levels, y_rec = _encode_plane(y, BLK, self._y_step)
-        u_modes, u_levels, u_rec = _encode_plane(u, CBLK, self._c_step,
-                                                 self._c_modes)
-        v_modes, v_levels, v_rec = _encode_plane(v, CBLK, self._c_step,
-                                                 self._c_modes)
-        tile = self._encode_tile(y_modes, y_levels, u_levels, v_levels,
-                                 u_modes)
-        fr = FrameConfig(base_q_idx=cfg.qindex,
-                         disable_cdf_update=not cfg.cdf_update)
-        obus = assemble_key_frame(self.seq, fr, tile, first=self._first)
-        self._first = False
-        return obus, (y_rec, u_rec, v_rec)
+        yb = np.stack([f[0] for f in frames])
+        ub = np.stack([f[1] for f in frames])
+        vb = np.stack([f[2] for f in frames])
+        y_mi, y_lev, y_rec = encode_plane_wavefront(
+            yb, BLK, TX_32X32, cfg.qindex, CAND_MODES)
+        u_mi, u_lev, u_rec = encode_plane_wavefront(
+            ub, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,))
+        v_mi, v_lev, v_rec = encode_plane_wavefront(
+            vb, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,))
+        y_mi = np.asarray(y_mi)
+        y_lev, u_lev, v_lev = map(np.asarray, (y_lev, u_lev, v_lev))
+        y_rec, u_rec, v_rec = map(np.asarray, (y_rec, u_rec, v_rec))
+        payloads, recons = [], []
+        for b in range(len(frames)):
+            y_modes = np.array(
+                [[CAND_MODES[i] for i in row] for row in y_mi[b]], np.int32)
+            tile = self._encode_tile(y_modes, y_lev[b], u_lev[b], v_lev[b],
+                                     None)
+            fr = FrameConfig(base_q_idx=cfg.qindex,
+                             disable_cdf_update=not cfg.cdf_update)
+            payloads.append(assemble_key_frame(self.seq, fr, tile,
+                                               first=self._first))
+            self._first = False
+            recons.append((y_rec[b], u_rec[b], v_rec[b]))
+        return payloads, recons
 
     # ------------------------------------------------------------------ #
 

@@ -25,6 +25,56 @@ def make_mesh(n_devices: int | None = None, tile_parallel: int = 1) -> Mesh:
     return Mesh(arr, ("data", "tile"))
 
 
+def sharded_encode_step(mesh: Mesh):
+    """One step of the real encode pipeline over the mesh:
+    - pictures shard over the "data" axis (GOP/picture parallelism);
+    - a picture-analysis pass shards SB rows over the "tile" axis with a
+      psum standing in for the per-GOP rate-control reduction over ICI.
+    """
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from ..encoder.wavefront import encode_plane_wavefront
+    from ..spec.txfm import TX_32X32
+
+    ndata = mesh.shape["data"]
+    ntile = mesh.shape["tile"]
+    B, H, W = ndata, 64 * ntile, 128
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randint(0, 256, (B, H, W)), jnp.uint8)
+    src = jax.device_put(src, NamedSharding(mesh, P("data")))
+
+    # picture-parallel conformant encode (no cross-device deps for intra)
+    mi, lev, recon = encode_plane_wavefront(src, 32, TX_32X32, 100)
+    recon.block_until_ready()
+
+    # tile-row sharded analysis + RC reduction over ICI
+    @partial_shard_map_analysis(mesh)
+    def analysis(block):
+        var = jnp.var(block.astype(jnp.float32), axis=(-1, -2))
+        local_bits = jnp.sum(var)
+        total = jax.lax.psum(local_bits, ("data", "tile"))
+        return var, total
+
+    blocks = src.reshape(B, H // 64, 64, W // 64, 64).transpose(0, 1, 3, 2, 4)
+    blocks = jax.device_put(blocks, NamedSharding(mesh, P("data", "tile")))
+    var, total = analysis(blocks)
+    jax.block_until_ready((var, total))
+    return recon, total
+
+
+def partial_shard_map_analysis(mesh: Mesh):
+    import jax
+    from jax.experimental.shard_map import shard_map
+
+    def deco(fn):
+        return jax.jit(shard_map(
+            fn, mesh=mesh,
+            in_specs=P("data", "tile"),
+            out_specs=(P("data", "tile"), P()),
+        ))
+    return deco
+
+
 def sharded_pipeline_step(mesh: Mesh):
     """Jit the transform+quant+recon stage over the mesh and run one tiny
     step: frames shard over the data axis, SB rows over the tile axis."""
