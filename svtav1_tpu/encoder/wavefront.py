@@ -16,28 +16,42 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import intra
+from ..ops.intra_dir import dr_pred
 from ..ops.quant import dequantize, quantize
 from ..ops.transforms import add_residual_clip, fwd_txfm2d, inv_txfm2d
 from ..spec import tables as tbl
 from ..spec.txfm import DCT_DCT
 
-DEFAULT_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED, intra.SMOOTH_PRED,
-                 intra.SMOOTH_V_PRED, intra.SMOOTH_H_PRED, intra.PAETH_PRED)
+DEFAULT_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED,
+                 intra.D45_PRED, intra.D135_PRED, intra.D113_PRED,
+                 intra.D157_PRED, intra.D203_PRED, intra.D67_PRED,
+                 intra.SMOOTH_PRED, intra.SMOOTH_V_PRED, intra.SMOOTH_H_PRED,
+                 intra.PAETH_PRED)
+DIRECTIONAL = set(range(1, 9))
 
 
 def _diag_tables(bh: int, bw: int):
-    """Static per-diagonal block coords, padded to D = min(bh, bw)."""
+    """Static per-diagonal block coords (+ top-right / bottom-left
+    availability per the SB z-order coding rules, EbIntraPrediction.c:712),
+    padded to D = min(bh, bw)."""
     ndiag = bh + bw - 1
     D = min(bh, bw)
     rs = np.zeros((ndiag, D), np.int32)
     cs = np.zeros((ndiag, D), np.int32)
     valid = np.zeros((ndiag, D), bool)
+    has_tr = np.zeros((ndiag, D), bool)
+    has_bl = np.zeros((ndiag, D), bool)
     for d in range(ndiag):
         r = np.arange(max(0, d - bw + 1), min(bh, d + 1), dtype=np.int32)
+        c = d - r
         rs[d, :len(r)] = r
-        cs[d, :len(r)] = d - r
+        cs[d, :len(r)] = c
         valid[d, :len(r)] = True
-    return rs, cs, valid
+        qr, qc = r % 2, c % 2
+        has_tr[d, :len(r)] = np.where(
+            qr == 0, (r > 0) & (c + 1 < bw), (qc == 0) & (c + 1 < bw))
+        has_bl[d, :len(r)] = (qr == 0) & (qc == 0) & (c > 0) & (r + 1 < bh)
+    return rs, cs, valid, has_tr, has_bl
 
 
 def _lambda(qindex: int) -> float:
@@ -52,7 +66,7 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
     (mode_idx [B, bh, bw], levels [B, bh, bw, bs, bs], recon [B, h, w])."""
     B, h, w = src.shape
     bh, bw = h // bs, w // bs
-    rs_t, cs_t, valid_t = _diag_tables(bh, bw)
+    rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _diag_tables(bh, bw)
     D = rs_t.shape[1]
     lam = _lambda(qindex)
     src = src.astype(jnp.int32)
@@ -72,7 +86,7 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                      x[:, None, None] + ar[None, None, :]]
 
     def step(recon, xs):
-        rs, cs, valid = xs
+        rs, cs, valid, has_tr, has_bl = xs
         y = rs * bs
         x = cs * bs
         ha = (rs > 0)[None, :, None]                     # [1, D, 1]
@@ -91,12 +105,25 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                            jnp.where(ha1, above_real[..., 0],
                                      jnp.where(hl1, left_real[..., 0], base)))
 
+        # top-right / bottom-left extensions (replicate when unavailable)
+        tr_real = gather_rows(recon, jnp.maximum(y - 1, 0),
+                              jnp.minimum(x + bs, w - bs))
+        bl_real = gather_cols(recon, jnp.minimum(y + bs, h - bs),
+                              jnp.maximum(x - 1, 0))
+        htr = has_tr[None, :, None]
+        hbl = has_bl[None, :, None]
+        above_ext = jnp.concatenate(
+            [above, jnp.where(htr, tr_real, above[..., -1:])], axis=-1)
+        left_ext = jnp.concatenate(
+            [left, jnp.where(hbl, bl_real, left[..., -1:])], axis=-1)
+
         blocks = gather_blocks(src, y, x)                # [B, D, bs, bs]
 
         # flatten batch*diag for the mode loop
         fb = lambda t: t.reshape((B * D,) + t.shape[2:])
         f_src, f_above, f_left, f_corner = map(
             fb, (blocks, above, left, corner))
+        f_above_ext, f_left_ext = map(fb, (above_ext, left_ext))
         f_ha = jnp.broadcast_to(ha1, (B, D)).reshape(-1)
         f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
 
@@ -111,6 +138,10 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                 pred = jnp.where(haa & hll, p[0],
                                  jnp.where(haa, p[1],
                                            jnp.where(hll, p[2], p[3])))
+            elif mode in DIRECTIONAL and mode not in (intra.V_PRED,
+                                                      intra.H_PRED):
+                pred = dr_pred(mode, 0, f_above_ext, f_left_ext, f_corner,
+                               bs, bd)
             else:
                 pred = intra.predict(mode, f_above, f_left, f_corner)
             resid = f_src - pred
@@ -149,7 +180,8 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
     recon0 = jnp.zeros((B, h, w), jnp.int32)
     recon, (mi_d, lev_d) = jax.lax.scan(
         step, recon0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
-                       jnp.asarray(valid_t)))
+                       jnp.asarray(valid_t), jnp.asarray(has_tr_t),
+                       jnp.asarray(has_bl_t)))
 
     # un-diagonalize: [ndiag, B, D, ...] → [B, bh, bw, ...]
     flat_idx = rs_t * bw + cs_t                          # [ndiag, D]

@@ -39,6 +39,19 @@ EXPORT(smooth_h_predictor)
 EXPORT(paeth_predictor)
 
 const uint8_t *get_sm_weights(void) { return sm_weight_arrays; }
+
+void run_z1(uint8_t *dst, int bw, int bh, const uint8_t *above,
+            const uint8_t *left, int dx, int dy) {
+    svt_av1_dr_prediction_z1_c(dst, bw, bw, bh, above, left, 0, dx, dy);
+}
+void run_z2(uint8_t *dst, int bw, int bh, const uint8_t *above,
+            const uint8_t *left, int dx, int dy) {
+    svt_av1_dr_prediction_z2_c(dst, bw, bw, bh, above, left, 0, 0, dx, dy);
+}
+void run_z3(uint8_t *dst, int bw, int bh, const uint8_t *above,
+            const uint8_t *left, int dx, int dy) {
+    svt_av1_dr_prediction_z3_c(dst, bw, bw, bh, above, left, 0, dx, dy);
+}
 """
 
 NAMES = ["dc_predictor", "dc_left_predictor", "dc_top_predictor",
@@ -90,6 +103,36 @@ def main():
             data[f"{name}_{w}x{h}_above"] = above_ext
             data[f"{name}_{w}x{h}_left"] = left
             data[f"{name}_{w}x{h}_out"] = out
+    # directional golden vectors: square sizes, all mode angles & deltas
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from svtav1_tpu.ops.intra_dir import MODE_ANGLE, get_dx, get_dy
+    zfns = {}
+    for zf in ("z1", "z2", "z3"):
+        fn = getattr(lib, "run_" + zf)
+        fn.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p, u8p,
+                       ctypes.c_int, ctypes.c_int]
+        zfns[zf] = fn
+    for n in (4, 8, 16, 32, 64):
+        for mode, base_angle in MODE_ANGLE.items():
+            for delta in range(-3, 4):
+                angle = base_angle + 3 * delta
+                if angle <= 0 or angle >= 270 or angle in (90, 180):
+                    continue
+                zone = "z1" if angle < 90 else ("z2" if angle < 180 else "z3")
+                nb = 2
+                # edges: above buffer [corner, above 2n]; left [corner, 2n]
+                abuf = rng.randint(0, 256, (nb, 2 * n + 1)).astype(np.uint8)
+                lbuf = rng.randint(0, 256, (nb, 2 * n + 1)).astype(np.uint8)
+                lbuf[:, 0] = abuf[:, 0]   # shared corner
+                out = np.zeros((nb, n, n), np.uint8)
+                dx, dy = get_dx(angle), get_dy(angle)
+                for b in range(nb):
+                    zfns[zone](out[b], n, n, abuf[b, 1:], lbuf[b, 1:], dx, dy)
+                key = f"dr_{n}_{mode}_{delta}"
+                data[key + "_a"] = abuf
+                data[key + "_l"] = lbuf
+                data[key + "_o"] = out
     np.savez_compressed(OUT, **data)
     print("wrote", OUT)
 
