@@ -57,7 +57,10 @@ class FrameConfig:
     disable_frame_end_update_cdf: bool = True
     reduced_tx_set: bool = True
     allow_screen_content_tools: bool = False
-    filter_level: tuple = (0, 0)
+    filter_level: tuple = (0, 0)    # (y_vert, y_horz)
+    filter_level_u: int = 0
+    filter_level_v: int = 0
+    lf_sharpness: int = 0
 
 
 def write_sequence_header_obu(cfg: SequenceConfig) -> bytes:
@@ -172,9 +175,9 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
     w.f(fr.filter_level[0], 6)
     w.f(fr.filter_level[1], 6)
     if not seq.monochrome and (fr.filter_level[0] or fr.filter_level[1]):
-        w.f(0, 6)                   # filter_level_u
-        w.f(0, 6)                   # filter_level_v
-    w.f(0, 3)                       # sharpness
+        w.f(fr.filter_level_u, 6)
+        w.f(fr.filter_level_v, 6)
+    w.f(fr.lf_sharpness, 3)
     w.bit(0)                        # loop_filter_delta_enabled
 
     # cdef_params: skipped (enable_cdef=0)

@@ -27,6 +27,7 @@ from ..ec.coeffs import write_coeffs_txb
 from ..ec.range_coder import RangeEncoder
 from ..ops import intra
 from ..ops.quant import dequantize, quantize
+from ..ops.deblock import deblock_plane_uniform
 from ..ops.transforms import add_residual_clip, fwd_txfm2d, inv_txfm2d
 from ..spec import tables as tbl
 from ..spec.cdf import CdfContext
@@ -50,6 +51,7 @@ class EncoderConfig:
     qindex: int = 100
     bit_depth: int = 8
     cdf_update: bool = True
+    lf_level: int = -1          # -1 → derive from qindex; 0 → off
 
 
 def _lambda(qindex: int) -> float:
@@ -207,6 +209,11 @@ class IntraEncoder:
             vb, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,))
         y_mi = np.asarray(y_mi)
         y_lev, u_lev, v_lev = map(np.asarray, (y_lev, u_lev, v_lev))
+        lf = self.lf_levels()
+        if lf[0] or lf[1]:
+            y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1])
+            u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2])
+            v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3])
         y_rec, u_rec, v_rec = map(np.asarray, (y_rec, u_rec, v_rec))
         payloads, recons = [], []
         for b in range(len(frames)):
@@ -214,13 +221,29 @@ class IntraEncoder:
                 [[CAND_MODES[i] for i in row] for row in y_mi[b]], np.int32)
             tile = self._encode_tile(y_modes, y_lev[b], u_lev[b], v_lev[b],
                                      None)
+            lfv = self.lf_levels()
             fr = FrameConfig(base_q_idx=cfg.qindex,
-                             disable_cdf_update=not cfg.cdf_update)
+                             disable_cdf_update=not cfg.cdf_update,
+                             filter_level=(lfv[0], lfv[1]),
+                             filter_level_u=lfv[2], filter_level_v=lfv[3])
             payloads.append(assemble_key_frame(self.seq, fr, tile,
                                                first=self._first))
             self._first = False
             recons.append((y_rec[b], u_rec[b], v_rec[b]))
         return payloads, recons
+
+    def lf_levels(self):
+        """(y_vert, y_horz, u, v) filter levels (heuristic from qindex,
+        similar in spirit to the reference's RDO'd pick)."""
+        if self.cfg.lf_level == 0:
+            return (0, 0, 0, 0)
+        if self.cfg.lf_level > 0:
+            l = min(self.cfg.lf_level, 63)
+        else:
+            q = self.cfg.qindex
+            l = max(0, min(63, (q * q // 1100) + q // 12 - 2))
+        lc = max(0, l * 3 // 4)
+        return (l, l, lc, lc)
 
     # ------------------------------------------------------------------ #
 

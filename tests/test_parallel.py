@@ -17,5 +17,7 @@ def test_dryrun_entry():
     import jax
 
     fn, args = g.entry()
-    out = jax.jit(fn)(*args)
-    assert out[0].shape == (64, 32, 32)
+    mode_idx, levels, recon = jax.jit(fn)(*args)
+    assert mode_idx.shape == (2, 4, 4)
+    assert levels.shape == (2, 4, 4, 32, 32)
+    assert recon.shape == (2, 128, 128)
