@@ -249,6 +249,14 @@ class IntraEncoder:
 
     def _encode_tile(self, y_modes, y_levels, u_levels, v_levels, uv_modes):
         cfg = self.cfg
+        if getattr(self, "use_native", True):
+            try:
+                from ..ec import native
+                return native.encode_tile_intra(
+                    cfg.width, cfg.height, cfg.cdf_update, y_modes, y_levels,
+                    u_levels, v_levels, CdfContext(cfg.qindex))
+            except Exception:
+                self.use_native = False
         mi_cols = cfg.width // 4
         mi_rows = cfg.height // 4
         sb_cols = cfg.width // SB
