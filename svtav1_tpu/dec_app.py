@@ -1,0 +1,59 @@
+"""SvtAv1TpuDecApp equivalent: AV1 IVF in → Y4M out (+ optional MD5).
+
+Mirrors the reference DecApp surface (Source/App/DecApp) for the stream
+subset the framework supports.
+Usage: python -m svtav1_tpu.dec_app -i in.ivf -o out.y4m [--md5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="svtav1_tpu.dec")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("--md5", action="store_true",
+                   help="print MD5 of decoded frames (DecApp-style check)")
+    args = p.parse_args(argv)
+
+    from .decoder.decoder import Decoder
+    from .utils.ivf import read_ivf
+    from .utils.y4m import Y4mInfo, Y4mWriter
+
+    dec = Decoder()
+    md5 = hashlib.md5()
+    n = 0
+    wtr = None
+    with open(args.input, "rb") as f:
+        info, frames = read_ivf(f)
+        out_f = open(args.output, "wb") if args.output else None
+        for payload, _pts in frames:
+            frame = dec.decode_frame_obus(payload)
+            if frame is None:
+                continue
+            y, u, v = frame
+            if out_f is not None and wtr is None:
+                wtr = Y4mWriter(out_f, Y4mInfo(
+                    y.shape[1], y.shape[0], info["timebase_num"] or 30,
+                    info["timebase_den"] or 1))
+            if wtr:
+                wtr.write_frame(y, u, v)
+            if args.md5:
+                md5.update(y.tobytes())
+                md5.update(u.tobytes())
+                md5.update(v.tobytes())
+            n += 1
+        if out_f:
+            out_f.close()
+    print(f"decoded {n} frames")
+    if args.md5:
+        print(f"MD5: {md5.hexdigest()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,416 @@
+"""Research decoder: OBU parse + tile decode + reconstruction.
+
+Covers the stream subset this framework emits (standard AV1 key-frame intra,
+single tile, 64x64 SB) with the structure to grow toward full coverage —
+the role of the reference's SvtAv1Dec (SURVEY.md §2.7).  Parsing is host
+Python; reconstruction reuses the same normative ops as the encoder
+(intra predictors, dequant, inverse transforms, deblocking), so
+encoder/decoder share one bit-exact compute layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ec.coeffs import read_coeffs_txb
+from ..ec.modes import INTRA_MODE_CONTEXT, PARTITION_NONE, PARTITION_SPLIT
+from ..ec.range_coder import RangeDecoder
+from ..ops import intra
+from ..ops.deblock import deblock_plane_uniform
+from ..ops.intra_dir import dr_pred
+from ..ops.quant import dequantize
+from ..ops.transforms import add_residual_clip, inv_txfm2d
+from ..spec.cdf import CdfContext
+from ..spec.txfm import TX_16X16, TX_32X32, DCT_DCT
+from ..utils.bitio import BitReader
+from ..utils.obu import (OBU_FRAME, OBU_FRAME_HEADER, OBU_SEQUENCE_HEADER,
+                         OBU_TILE_GROUP, parse_obus)
+
+
+@dataclass
+class SeqInfo:
+    width: int = 0
+    height: int = 0
+    bit_depth: int = 8
+    use_128x128_sb: bool = False
+    enable_filter_intra: bool = False
+    enable_intra_edge_filter: bool = False
+    enable_order_hint: bool = False
+    order_hint_bits: int = 0
+    enable_superres: bool = False
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    monochrome: bool = False
+
+
+@dataclass
+class FrameInfo:
+    frame_type: int = 0
+    show_frame: bool = True
+    base_q_idx: int = 100
+    disable_cdf_update: bool = True
+    tx_mode_select: bool = False
+    reduced_tx_set: bool = False
+    filter_level: tuple = (0, 0)
+    filter_level_u: int = 0
+    filter_level_v: int = 0
+    lf_sharpness: int = 0
+
+
+class Decoder:
+    def __init__(self) -> None:
+        self.seq: SeqInfo | None = None
+
+    # ---------------- headers ---------------- #
+
+    def _parse_sequence_header(self, payload: bytes) -> SeqInfo:
+        r = BitReader(payload)
+        s = SeqInfo()
+        profile = r.f(3)
+        assert profile == 0, "profile 0 only"
+        r.bit()                       # still_picture
+        reduced = r.bit()
+        assert not reduced
+        if r.bit():                   # timing_info_present
+            raise NotImplementedError("timing info")
+        r.bit()                       # initial_display_delay_present
+        n_ops = r.f(5) + 1
+        for _ in range(n_ops):
+            r.f(12)
+            lvl = r.f(5)
+            if lvl > 7:
+                r.bit()
+        wbits = r.f(4) + 1
+        hbits = r.f(4) + 1
+        s.width = r.f(wbits) + 1
+        s.height = r.f(hbits) + 1
+        if r.bit():                   # frame_id_numbers_present
+            raise NotImplementedError
+        s.use_128x128_sb = bool(r.bit())
+        s.enable_filter_intra = bool(r.bit())
+        s.enable_intra_edge_filter = bool(r.bit())
+        r.bit()                       # enable_interintra_compound
+        r.bit()                       # enable_masked_compound
+        r.bit()                       # enable_warped_motion
+        r.bit()                       # enable_dual_filter
+        s.enable_order_hint = bool(r.bit())
+        if s.enable_order_hint:
+            r.bit()
+            r.bit()
+        if r.bit():                   # seq_choose_screen_content_tools
+            force_sct = 2
+        else:
+            force_sct = r.bit()
+        if force_sct > 0:
+            raise NotImplementedError("screen content tools")
+        if s.enable_order_hint:
+            s.order_hint_bits = r.f(3) + 1
+        s.enable_superres = bool(r.bit())
+        s.enable_cdef = bool(r.bit())
+        s.enable_restoration = bool(r.bit())
+        # color config
+        high_bd = r.bit()
+        s.bit_depth = 10 if high_bd else 8
+        s.monochrome = bool(r.bit())
+        if r.bit():                   # color_description_present
+            r.f(8)
+            r.f(8)
+            r.f(8)
+        r.bit()                       # color_range
+        if not s.monochrome:
+            r.f(2)                    # chroma_sample_position
+            r.bit()                   # separate_uv_delta_q
+        r.bit()                       # film_grain_params_present
+        return s
+
+    def _parse_frame_header(self, r: BitReader, seq: SeqInfo) -> FrameInfo:
+        fr = FrameInfo()
+        assert r.bit() == 0, "show_existing_frame unsupported"
+        fr.frame_type = r.f(2)
+        assert fr.frame_type == 0, "key frames only (round-1 subset)"
+        fr.show_frame = bool(r.bit())
+        assert fr.show_frame
+        fr.disable_cdf_update = bool(r.bit())
+        assert r.bit() == 0           # frame_size_override
+        if seq.enable_order_hint:
+            r.f(seq.order_hint_bits)
+        if seq.enable_superres:
+            assert r.bit() == 0
+        assert r.bit() == 0           # render_and_frame_size_different
+        if not fr.disable_cdf_update:
+            r.bit()                   # disable_frame_end_update_cdf
+        # tile info (single-tile subset)
+        assert r.bit() == 1           # uniform spacing
+        sb = 128 if seq.use_128x128_sb else 64
+        sb_cols = (seq.width + sb - 1) // sb
+        sb_rows = (seq.height + sb - 1) // sb
+        from ..encoder.headers import _tile_log2
+        sb_shift = 7 if sb == 128 else 6
+        max_tile_width_sb = 4096 >> sb_shift
+        min_log2_cols = _tile_log2(max_tile_width_sb, sb_cols)
+        max_log2_cols = _tile_log2(1, min(sb_cols, 64))
+        max_log2_rows = _tile_log2(1, min(sb_rows, 64))
+        tile_cols_log2 = min_log2_cols
+        while tile_cols_log2 < max_log2_cols and r.bit():
+            tile_cols_log2 += 1
+        max_tile_area_sb = (4096 * 2304) >> (2 * sb_shift)
+        min_log2_tiles = max(min_log2_cols,
+                             _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+        min_log2_rows = max(min_log2_tiles - tile_cols_log2, 0)
+        tile_rows_log2 = min_log2_rows
+        while tile_rows_log2 < max_log2_rows and r.bit():
+            tile_rows_log2 += 1
+        if tile_cols_log2 or tile_rows_log2:
+            r.f(tile_cols_log2 + tile_rows_log2)
+            r.f(2)
+        assert tile_cols_log2 == 0 and tile_rows_log2 == 0, "single tile"
+        # quantization
+        fr.base_q_idx = r.f(8)
+        assert r.bit() == 0           # delta_q_y_dc
+        if not seq.monochrome:
+            assert r.bit() == 0
+            assert r.bit() == 0
+        assert r.bit() == 0           # using_qmatrix
+        assert r.bit() == 0           # segmentation_enabled
+        if fr.base_q_idx > 0:
+            assert r.bit() == 0       # delta_q_present
+        l0 = r.f(6)
+        l1 = r.f(6)
+        fr.filter_level = (l0, l1)
+        if not seq.monochrome and (l0 or l1):
+            fr.filter_level_u = r.f(6)
+            fr.filter_level_v = r.f(6)
+        fr.lf_sharpness = r.f(3)
+        assert r.bit() == 0           # loop_filter_delta_enabled
+        assert not seq.enable_cdef and not seq.enable_restoration
+        fr.tx_mode_select = bool(r.bit())
+        assert not fr.tx_mode_select, "TX_MODE_LARGEST subset"
+        fr.reduced_tx_set = bool(r.bit())
+        return fr
+
+    # ---------------- tile ---------------- #
+
+    def _decode_tile(self, data: bytes, seq: SeqInfo, fr: FrameInfo):
+        w, h = seq.width, seq.height
+        dec = RangeDecoder(data)
+        cdf = CdfContext(fr.base_q_idx, update=not fr.disable_cdf_update)
+        mi_cols, mi_rows = w // 4, h // 4
+        bw = w // 32
+        y_rec = np.zeros((h, w), np.int32)
+        u_rec = np.zeros((h // 2, w // 2), np.int32)
+        v_rec = np.zeros((h // 2, w // 2), np.int32)
+
+        above_part = np.zeros(mi_cols, np.uint8)
+        skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        above_cul = {0: np.zeros(w // 4, np.uint8),
+                     1: np.zeros(w // 8, np.uint8),
+                     2: np.zeros(w // 8, np.uint8)}
+        above_av = {p: np.zeros_like(above_cul[p], bool) for p in range(3)}
+
+        for sb_r in range(h // 64):
+            left_part = np.zeros(16, np.uint8)
+            left_cul = {0: np.zeros(16, np.uint8),
+                        1: np.zeros(8, np.uint8), 2: np.zeros(8, np.uint8)}
+            left_av = {p: np.zeros_like(left_cul[p], bool) for p in range(3)}
+            for sb_c in range(w // 64):
+                mi_c0 = sb_c * 16
+                ctx = self._part_ctx(above_part[mi_c0], left_part[0], 3)
+                t = cdf.partition_cdf[ctx]
+                p64 = dec.decode_symbol(t, 10)
+                cdf.update(t, p64)
+                assert p64 == PARTITION_SPLIT, "fixed 32x32 subset"
+                for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    br, bc = sb_r * 2 + qr, sb_c * 2 + qc
+                    mi_r, mi_c = br * 8, bc * 8
+                    ctx = self._part_ctx(above_part[mi_c], left_part[qr * 8],
+                                         2)
+                    t = cdf.partition_cdf[ctx]
+                    p32 = dec.decode_symbol(t, 10)
+                    cdf.update(t, p32)
+                    assert p32 == PARTITION_NONE
+                    self._decode_block(
+                        dec, cdf, br, bc, bw, seq, fr, y_rec, u_rec, v_rec,
+                        skip_grid, mode_grid, above_cul, above_av, left_cul,
+                        left_av, mi_cols)
+                    above_part[mi_c:mi_c + 8] = 24
+                    left_part[qr * 8:qr * 8 + 8] = 24
+        return y_rec, u_rec, v_rec
+
+    @staticmethod
+    def _part_ctx(above: int, left: int, bsl: int) -> int:
+        return ((int(left) >> bsl) & 1) * 2 + ((int(above) >> bsl) & 1) + \
+            bsl * 4
+
+    def _decode_block(self, dec, cdf, br, bc, bw, seq, fr, y_rec, u_rec,
+                      v_rec, skip_grid, mode_grid, above_cul, above_av,
+                      left_cul, left_av, mi_cols):
+        mi_r, mi_c = br * 8, bc * 8
+        have_above, have_left = mi_r > 0, mi_c > 0
+        a_skip = int(skip_grid[mi_r - 1, mi_c]) if have_above else 0
+        l_skip = int(skip_grid[mi_r, mi_c - 1]) if have_left else 0
+        t = cdf.skip_cdfs[a_skip + l_skip]
+        skip = dec.decode_symbol(t)
+        cdf.update(t, skip)
+
+        a_mode = int(mode_grid[mi_r - 1, mi_c]) if have_above else 0
+        l_mode = int(mode_grid[mi_r, mi_c - 1]) if have_left else 0
+        t = cdf.kf_y_cdf[INTRA_MODE_CONTEXT[a_mode]][
+            INTRA_MODE_CONTEXT[l_mode]]
+        y_mode = dec.decode_symbol(t)
+        cdf.update(t, y_mode)
+        angle_delta = 0
+        if 1 <= y_mode <= 8:
+            t = cdf.angle_delta_cdf[y_mode - 1]
+            angle_delta = dec.decode_symbol(t) - 3
+            cdf.update(t, angle_delta + 3)
+        t = cdf.uv_mode_cdf[1][y_mode]
+        uv_mode = dec.decode_symbol(t, 14)
+        cdf.update(t, uv_mode)
+        assert uv_mode == 0, "UV DC subset"
+
+        planes = ((0, y_rec, 32, TX_32X32, y_mode, angle_delta),
+                  (1, u_rec, 16, TX_16X16, uv_mode, 0),
+                  (2, v_rec, 16, TX_16X16, uv_mode, 0))
+        for plane, rec, bs, txs, mode, adelta in planes:
+            shift = 0 if plane == 0 else 1
+            y0, x0 = br * (32 >> shift), bc * (32 >> shift)
+            units = (32 >> shift) // 4
+            au0 = (bc * 32 >> shift) // 4
+            lu0 = ((br * 32 >> shift) // 4) % (16 >> shift)
+            if not skip:
+                if plane == 0:
+                    tctx = 0
+                else:
+                    a_nz = (above_cul[plane][au0:au0 + units] &
+                            0x3F)[above_av[plane][au0:au0 + units]]
+                    l_nz = (left_cul[plane][lu0:lu0 + units] &
+                            0x3F)[left_av[plane][lu0:lu0 + units]]
+                    tctx = 7 + int((a_nz != 0).any()) + int((l_nz != 0).any())
+                signs = 0
+                for culs, avs in ((above_cul[plane][au0:au0 + units],
+                                   above_av[plane][au0:au0 + units]),
+                                  (left_cul[plane][lu0:lu0 + units],
+                                   left_av[plane][lu0:lu0 + units])):
+                    for cl, av in zip(culs, avs):
+                        if av:
+                            s = int(cl) >> 6
+                            signs += 1 if s == 2 else (-1 if s == 1 else 0)
+                dctx = 2 if signs > 0 else (1 if signs < 0 else 0)
+                lev = read_coeffs_txb(dec, cdf, bs, bs, txs, DCT_DCT,
+                                      min(plane, 1), tctx, dctx)
+                cul = min(63, int(np.abs(lev).sum()))
+                dcv = int(lev[0, 0])
+                if dcv < 0:
+                    cul |= 1 << 6
+                elif dcv > 0:
+                    cul += 2 << 6
+            else:
+                lev = np.zeros((bs, bs), np.int32)
+                cul = 0
+            above_cul[plane][au0:au0 + units] = cul
+            above_av[plane][au0:au0 + units] = True
+            left_cul[plane][lu0:lu0 + units] = cul
+            left_av[plane][lu0:lu0 + units] = True
+
+            pred = self._predict(rec, y0, x0, bs, mode, adelta, br, bc, bw,
+                                 seq)
+            if lev.any():
+                dq = dequantize(lev[None], txs, fr.base_q_idx, seq.bit_depth)
+                res = inv_txfm2d(dq, txs, DCT_DCT, seq.bit_depth)
+                blk = np.asarray(add_residual_clip(pred[None], res,
+                                                   seq.bit_depth))[0]
+            else:
+                blk = pred
+            rec[y0:y0 + bs, x0:x0 + bs] = blk
+
+        skip_grid[mi_r:mi_r + 8, mi_c:mi_c + 8] = skip
+        mode_grid[mi_r:mi_r + 8, mi_c:mi_c + 8] = y_mode
+
+    def _predict(self, rec, y0, x0, bs, mode, adelta, br, bc, bw, seq):
+        h, w = rec.shape
+        base = 1 << (seq.bit_depth - 1)
+        ha, hl = y0 > 0, x0 > 0
+        if ha:
+            above = rec[y0 - 1, x0:x0 + bs].astype(np.int32)
+        elif hl:
+            above = np.full(bs, rec[y0, x0 - 1], np.int32)
+        else:
+            above = np.full(bs, base - 1, np.int32)
+        if hl:
+            left = rec[y0:y0 + bs, x0 - 1].astype(np.int32)
+        elif ha:
+            left = np.full(bs, rec[y0 - 1, x0], np.int32)
+        else:
+            left = np.full(bs, base + 1, np.int32)
+        if ha and hl:
+            corner = int(rec[y0 - 1, x0 - 1])
+        elif ha:
+            corner = int(rec[y0 - 1, x0])
+        elif hl:
+            corner = int(rec[y0, x0 - 1])
+        else:
+            corner = base
+
+        if mode == intra.DC_PRED:
+            return np.asarray(intra.dc_pred(above[None], left[None], ha, hl,
+                                            seq.bit_depth))[0]
+        if 1 <= mode <= 8 and mode not in (intra.V_PRED, intra.H_PRED):
+            r_b, c_b = br, bc
+            qr, qc = r_b % 2, c_b % 2
+            bh_blocks = h // bs
+            bw_blocks = w // bs
+            if qr == 0:
+                has_tr = r_b > 0 and c_b + 1 < bw_blocks
+            else:
+                has_tr = qc == 0 and c_b + 1 < bw_blocks
+            has_bl = qr == 0 and qc == 0 and c_b > 0 and r_b + 1 < bh_blocks
+            if has_tr and ha:
+                tr = rec[y0 - 1, x0 + bs:x0 + 2 * bs].astype(np.int32)
+            else:
+                tr = np.full(bs, above[-1], np.int32)
+            if has_bl and hl:
+                bl = rec[y0 + bs:y0 + 2 * bs, x0 - 1].astype(np.int32)
+            else:
+                bl = np.full(bs, left[-1], np.int32)
+            above_ext = np.concatenate([above, tr])
+            left_ext = np.concatenate([left, bl])
+            return np.asarray(dr_pred(mode, adelta, above_ext[None],
+                                      left_ext[None],
+                                      np.array([corner], np.int32), bs,
+                                      seq.bit_depth))[0]
+        return np.asarray(intra.predict(
+            mode, above[None], left[None], np.array([corner], np.int32)))[0]
+
+    # ---------------- public ---------------- #
+
+    def decode_frame_obus(self, data: bytes):
+        """Decode one temporal unit; returns (y, u, v) or None."""
+        frame = None
+        for obu_type, _, _, payload in parse_obus(data):
+            if obu_type == OBU_SEQUENCE_HEADER:
+                self.seq = self._parse_sequence_header(payload)
+            elif obu_type == OBU_FRAME:
+                assert self.seq is not None
+                r = BitReader(payload)
+                fr = self._parse_frame_header(r, self.seq)
+                r.byte_align()
+                tile_data = payload[r.bits_read // 8:]
+                y, u, v = self._decode_tile(tile_data, self.seq, fr)
+                if fr.filter_level[0] or fr.filter_level[1]:
+                    y = np.asarray(deblock_plane_uniform(
+                        y, 32, 14, fr.filter_level[0], fr.filter_level[1],
+                        fr.lf_sharpness))
+                    u = np.asarray(deblock_plane_uniform(
+                        u, 16, 6, fr.filter_level_u, fr.filter_level_u,
+                        fr.lf_sharpness))
+                    v = np.asarray(deblock_plane_uniform(
+                        v, 16, 6, fr.filter_level_v, fr.filter_level_v,
+                        fr.lf_sharpness))
+                frame = (y.astype(np.uint8), u.astype(np.uint8),
+                         v.astype(np.uint8))
+            elif obu_type in (OBU_FRAME_HEADER, OBU_TILE_GROUP):
+                raise NotImplementedError("separate frame header OBUs")
+        return frame

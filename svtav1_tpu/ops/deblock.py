@@ -162,7 +162,7 @@ def deblock_plane_uniform(plane, spacing: int, filter_length: int,
     """Deblock a plane with uniform TX grid `spacing` (our fixed-block intra
     frame): vertical-edge pass then horizontal-edge pass."""
     h, w = plane.shape[-2], plane.shape[-1]
-    x = plane.astype(jnp.int32)
+    x = jnp.asarray(plane).astype(jnp.int32)
 
     if level_v > 0:
         mblim, lim, thr = thresholds(level_v, sharpness)
