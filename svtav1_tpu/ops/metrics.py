@@ -1,0 +1,73 @@
+"""Batched distortion / analysis metrics (SAD, SSE, variance, satd).
+
+Replaces the reference's SAD/variance RTCD families
+(Encoder/ASM_*/sad*, variance*; SURVEY.md §2.8) with jnp reductions that XLA
+maps onto the VPU; the block-matching shapes (one query against many
+candidate positions) become a single batched tensor op — the building block
+for HME/ME (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def sad(a, b):
+    """Sum of absolute differences over the last two axes."""
+    return jnp.sum(jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32)),
+                   axis=(-1, -2))
+
+
+def sse(a, b):
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    return jnp.sum(d * d, axis=(-1, -2))
+
+
+def variance(a):
+    """(variance*n^2, mean) pair over last two axes, integer math like the
+    reference variance kernels: returns sse - sum^2/n."""
+    x = a.astype(jnp.int64)
+    n = a.shape[-1] * a.shape[-2]
+    s = jnp.sum(x, axis=(-1, -2))
+    ss = jnp.sum(x * x, axis=(-1, -2))
+    return ss - (s * s) // n
+
+
+def hadamard_satd(block):
+    """SATD via 2D Hadamard transform (reference: hadamard/satd kernels).
+    block [..., n, n] with n in {4, 8, 16, 32} (power of two)."""
+    x = block.astype(jnp.int32)
+
+    # log2(n) butterfly passes of (even+odd, even-odd)
+    def hadamard(v):
+        m = v.shape[-1]
+        step = 1
+        while step < m:
+            v = v.reshape(v.shape[:-1] + (m // (2 * step), 2, step))
+            a = v[..., 0, :]
+            b = v[..., 1, :]
+            v = jnp.concatenate([a + b, a - b], axis=-1)
+            v = v.reshape(v.shape[:-2] + (m,))
+            step *= 2
+        return v
+
+    y = hadamard(x)
+    y = hadamard(jnp.swapaxes(y, -1, -2))
+    return jnp.sum(jnp.abs(y), axis=(-1, -2))
+
+
+def sad_field(query, candidates):
+    """One query block vs many candidates: query [..., h, w],
+    candidates [..., n, h, w] → [..., n] SADs (the ME search primitive)."""
+    return jnp.sum(jnp.abs(candidates.astype(jnp.int32) -
+                           query[..., None, :, :].astype(jnp.int32)),
+                   axis=(-1, -2))
+
+
+def downsample2x(plane):
+    """2x decimation by averaging (picture-analysis pyramid,
+    EbPictureAnalysisProcess.c:1825)."""
+    x = plane.astype(jnp.int32)
+    return (x[..., ::2, ::2] + x[..., ::2, 1::2] + x[..., 1::2, ::2] +
+            x[..., 1::2, 1::2] + 2) >> 2
