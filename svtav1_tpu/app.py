@@ -39,11 +39,12 @@ def main(argv=None) -> int:
     with open(args.input, "rb") as fin:
         rdr = Y4mReader(fin)
         info = rdr.info
-        if info.bit_depth != 8 or info.subsampling != "420":
-            print("round-1 supports 8-bit 4:2:0 only", file=sys.stderr)
+        if info.subsampling != "420":
+            print("4:2:0 only for now", file=sys.stderr)
             return 1
         enc = IntraEncoder(EncoderConfig(
             info.width, info.height, qindex=args.qp,
+            bit_depth=info.bit_depth,
             cdf_update=not args.no_cdf_update))
         t0 = time.perf_counter()
         n = 0
@@ -57,7 +58,8 @@ def main(argv=None) -> int:
                 ivf.write_frame(payload, n)
                 total_bytes += len(payload)
                 if args.stat_report:
-                    psnrs.append((psnr(y, ry), psnr(u, ru), psnr(v, rv)))
+                    peak = (1 << info.bit_depth) - 1
+                    psnrs.append((psnr(y, ry, peak), psnr(u, ru, peak), psnr(v, rv, peak)))
                 n += 1
                 if args.frames and n >= args.frames:
                     break

@@ -201,12 +201,13 @@ class IntraEncoder:
         yb = np.stack([f[0] for f in frames])
         ub = np.stack([f[1] for f in frames])
         vb = np.stack([f[2] for f in frames])
+        bd = cfg.bit_depth
         y_mi, y_lev, y_rec = encode_plane_wavefront(
-            yb, BLK, TX_32X32, cfg.qindex, CAND_MODES)
+            yb, BLK, TX_32X32, cfg.qindex, CAND_MODES, bd)
         u_mi, u_lev, u_rec = encode_plane_wavefront(
-            ub, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,))
+            ub, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd)
         v_mi, v_lev, v_rec = encode_plane_wavefront(
-            vb, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,))
+            vb, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd)
         y_mi = np.asarray(y_mi)
         y_lev, u_lev, v_lev = map(np.asarray, (y_lev, u_lev, v_lev))
         lf = self.lf_levels()
@@ -235,8 +236,8 @@ class IntraEncoder:
     def lf_levels(self):
         """(y_vert, y_horz, u, v) filter levels (heuristic from qindex,
         similar in spirit to the reference's RDO'd pick)."""
-        if self.cfg.lf_level == 0:
-            return (0, 0, 0, 0)
+        if self.cfg.lf_level == 0 or self.cfg.bit_depth != 8:
+            return (0, 0, 0, 0)   # highbd deblock lands next round
         if self.cfg.lf_level > 0:
             l = min(self.cfg.lf_level, 63)
         else:

@@ -37,20 +37,26 @@ def _synth(w, h, seed):
     return y, u, v
 
 
-@pytest.mark.parametrize("q,cdf_update", [(100, True), (40, True),
-                                          (200, True), (100, False)])
-def test_intra_conformance(tmp_path, q, cdf_update):
+@pytest.mark.parametrize("q,cdf_update,bd", [(100, True, 8), (40, True, 8),
+                                             (200, True, 8), (100, False, 8),
+                                             (120, True, 10)])
+def test_intra_conformance(tmp_path, q, cdf_update, bd):
     from svtav1_tpu.encoder.intra_encoder import EncoderConfig, IntraEncoder
     from svtav1_tpu.utils.ivf import IvfWriter
 
     w, h, n = 128, 64, 2
-    enc = IntraEncoder(EncoderConfig(w, h, qindex=q, cdf_update=cdf_update))
+    enc = IntraEncoder(EncoderConfig(w, h, qindex=q, cdf_update=cdf_update,
+                                     bit_depth=bd))
     recons = []
     ivf_path = tmp_path / "t.ivf"
+    shift = bd - 8
     with open(ivf_path, "wb") as f:
         ivf = IvfWriter(f, w, h)
         for i in range(n):
-            payload, rec = enc.encode_frame(*_synth(w, h, i))
+            frame = _synth(w, h, i)
+            if shift:
+                frame = tuple((p.astype(np.uint16) << shift) for p in frame)
+            payload, rec = enc.encode_frame(*frame)
             ivf.write_frame(payload, i)
             recons.append(rec)
         ivf.finalize()
@@ -59,7 +65,8 @@ def test_intra_conformance(tmp_path, q, cdf_update):
     r = subprocess.run([str(AV1DEC), str(ivf_path), str(yuv)],
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
-    data = np.fromfile(yuv, np.uint8)
+    dtype = np.uint8 if bd == 8 else np.uint16
+    data = np.fromfile(yuv, dtype)
     fsz = w * h + 2 * (w // 2) * (h // 2)
     assert len(data) == fsz * n
     for i, (ry, ru, rv) in enumerate(recons):
@@ -69,6 +76,6 @@ def test_intra_conformance(tmp_path, q, cdf_update):
             h // 2, w // 2)
         dv = data[off + w * h + (w // 2) * (h // 2):off + fsz].reshape(
             h // 2, w // 2)
-        np.testing.assert_array_equal(ry.astype(np.uint8), dy)
-        np.testing.assert_array_equal(ru.astype(np.uint8), du)
-        np.testing.assert_array_equal(rv.astype(np.uint8), dv)
+        np.testing.assert_array_equal(ry.astype(dtype), dy)
+        np.testing.assert_array_equal(ru.astype(dtype), du)
+        np.testing.assert_array_equal(rv.astype(dtype), dv)
