@@ -33,7 +33,7 @@ from ..spec import tables as tbl
 from ..spec.cdf import CdfContext
 from ..spec.txfm import TX_16X16, TX_32X32, DCT_DCT
 from .headers import FrameConfig, SequenceConfig, assemble_key_frame
-from .wavefront import encode_plane_wavefront
+from .wavefront import encode_plane_wavefront, expand_candidates
 
 BLK = 32          # luma block size
 CBLK = 16         # chroma block size (4:2:0)
@@ -52,6 +52,7 @@ class EncoderConfig:
     bit_depth: int = 8
     cdf_update: bool = True
     lf_level: int = -1          # -1 → derive from qindex; 0 → off
+    angle_deltas: tuple = (0,)  # e.g. (-2, 0, 2) widens directional search
 
 
 def _lambda(qindex: int) -> float:
@@ -203,7 +204,8 @@ class IntraEncoder:
         vb = np.stack([f[2] for f in frames])
         bd = cfg.bit_depth
         y_mi, y_lev, y_rec = encode_plane_wavefront(
-            yb, BLK, TX_32X32, cfg.qindex, CAND_MODES, bd)
+            yb, BLK, TX_32X32, cfg.qindex, CAND_MODES, bd,
+            tuple(cfg.angle_deltas))
         u_mi, u_lev, u_rec = encode_plane_wavefront(
             ub, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd)
         v_mi, v_lev, v_rec = encode_plane_wavefront(
@@ -217,11 +219,14 @@ class IntraEncoder:
             v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3])
         y_rec, u_rec, v_rec = map(np.asarray, (y_rec, u_rec, v_rec))
         payloads, recons = [], []
+        cands = expand_candidates(CAND_MODES, tuple(cfg.angle_deltas))
         for b in range(len(frames)):
             y_modes = np.array(
-                [[CAND_MODES[i] for i in row] for row in y_mi[b]], np.int32)
+                [[cands[i][0] for i in row] for row in y_mi[b]], np.int32)
+            y_deltas = np.array(
+                [[cands[i][1] for i in row] for row in y_mi[b]], np.int32)
             tile = self._encode_tile(y_modes, y_lev[b], u_lev[b], v_lev[b],
-                                     None)
+                                     None, y_deltas)
             lfv = self.lf_levels()
             fr = FrameConfig(base_q_idx=cfg.qindex,
                              disable_cdf_update=not cfg.cdf_update,
@@ -248,9 +253,12 @@ class IntraEncoder:
 
     # ------------------------------------------------------------------ #
 
-    def _encode_tile(self, y_modes, y_levels, u_levels, v_levels, uv_modes):
+    def _encode_tile(self, y_modes, y_levels, u_levels, v_levels, uv_modes,
+                     y_deltas=None):
         cfg = self.cfg
-        if getattr(self, "use_native", True):
+        if y_deltas is None:
+            y_deltas = np.zeros_like(y_modes)
+        if getattr(self, "use_native", True) and not y_deltas.any():
             try:
                 from ..ec import native
                 return native.encode_tile_intra(
@@ -302,7 +310,7 @@ class IntraEncoder:
                     self._encode_block(
                         enc, cdf, br, bc, y_modes, y_levels, u_levels,
                         v_levels, uv_modes, skip_grid, mode_grid, above_cul,
-                        left_cul, above_avail, left_avail, sb_r)
+                        left_cul, above_avail, left_avail, sb_r, y_deltas)
 
                     # partition ctx update for the 32x32 leaf
                     above_part[bmi_c:bmi_c + 8] = part_above_v
@@ -311,7 +319,7 @@ class IntraEncoder:
 
     def _encode_block(self, enc, cdf, br, bc, y_modes, y_levels, u_levels,
                       v_levels, uv_modes, skip_grid, mode_grid, above_cul,
-                      left_cul, above_avail, left_avail, sb_r):
+                      left_cul, above_avail, left_avail, sb_r, y_deltas):
         mi_r, mi_c = br * 8, bc * 8
         mi_rows, mi_cols = skip_grid.shape
         have_above = mi_r > 0
@@ -334,7 +342,7 @@ class IntraEncoder:
         l_mode = int(mode_grid[mi_r, mi_c - 1]) if have_left else 0
         M.write_kf_y_mode(enc, cdf, a_mode, l_mode, y_mode)
         if M.is_directional(y_mode):
-            M.write_angle_delta(enc, cdf, y_mode, 0)
+            M.write_angle_delta(enc, cdf, y_mode, int(y_deltas[br, bc]))
 
         # uv mode (cfl allowed at 32x32)
         M.write_uv_mode(enc, cdf, True, y_mode, uv_mode)

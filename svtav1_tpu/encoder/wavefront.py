@@ -22,6 +22,17 @@ from ..ops.transforms import add_residual_clip, fwd_txfm2d, inv_txfm2d
 from ..spec import tables as tbl
 from ..spec.txfm import DCT_DCT
 
+def expand_candidates(modes, angle_deltas=(0,)):
+    """[(mode, delta)] — delta != 0 only for directional modes."""
+    out = []
+    for m in modes:
+        if 1 <= m <= 8:
+            out.extend((m, d) for d in angle_deltas)
+        else:
+            out.append((m, 0))
+    return tuple(out)
+
+
 DEFAULT_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED,
                  intra.D45_PRED, intra.D135_PRED, intra.D113_PRED,
                  intra.D157_PRED, intra.D203_PRED, intra.D67_PRED,
@@ -59,11 +70,17 @@ def _lambda(qindex: int) -> float:
     return 0.035 * float(ac) * float(ac) / 16.0
 
 
-@partial(jax.jit, static_argnames=("bs", "tx_size", "qindex", "modes", "bd"))
+@partial(jax.jit,
+         static_argnames=("bs", "tx_size", "qindex", "modes", "bd",
+                          "angle_deltas"))
 def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
-                           modes: tuple = DEFAULT_MODES, bd: int = 8):
+                           modes: tuple = DEFAULT_MODES, bd: int = 8,
+                           angle_deltas: tuple = (0,)):
     """src [B, h, w] uint8/int32 (h, w multiples of bs) →
-    (mode_idx [B, bh, bw], levels [B, bh, bw, bs, bs], recon [B, h, w])."""
+    (cand_idx [B, bh, bw], levels [B, bh, bw, bs, bs], recon [B, h, w]).
+
+    The candidate list is `expand_candidates(modes, angle_deltas)`; cand_idx
+    indexes into it."""
     B, h, w = src.shape
     bh, bw = h // bs, w // bs
     rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _diag_tables(bh, bw)
@@ -128,7 +145,8 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
         f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
 
         best_cost = best_mi = best_lev = best_rec = None
-        for mi, mode in enumerate(modes):
+        for mi, (mode, delta) in enumerate(
+                expand_candidates(modes, angle_deltas)):
             if mode == intra.DC_PRED:
                 p = [intra.dc_pred(f_above, f_left, a, l, bd)
                      for a, l in ((True, True), (True, False), (False, True),
@@ -138,10 +156,10 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                 pred = jnp.where(haa & hll, p[0],
                                  jnp.where(haa, p[1],
                                            jnp.where(hll, p[2], p[3])))
-            elif mode in DIRECTIONAL and mode not in (intra.V_PRED,
-                                                      intra.H_PRED):
-                pred = dr_pred(mode, 0, f_above_ext, f_left_ext, f_corner,
-                               bs, bd)
+            elif mode in DIRECTIONAL and (delta != 0 or mode not in
+                                          (intra.V_PRED, intra.H_PRED)):
+                pred = dr_pred(mode, delta, f_above_ext, f_left_ext,
+                               f_corner, bs, bd)
             else:
                 pred = intra.predict(mode, f_above, f_left, f_corner)
             resid = f_src - pred
