@@ -29,8 +29,18 @@ def main(argv=None) -> int:
     p.add_argument("-n", "--frames", type=int, default=0,
                    help="max frames (0 = all)")
     p.add_argument("--no-cdf-update", action="store_true")
+    p.add_argument("--batch", type=int, default=8,
+                   help="frames per device batch (amortizes dispatch)")
     p.add_argument("--stat-report", action="store_true")
     args = p.parse_args(argv)
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache_svtav1")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     from .encoder.intra_encoder import EncoderConfig, IntraEncoder
     from .utils.ivf import IvfWriter
@@ -53,16 +63,32 @@ def main(argv=None) -> int:
         with open(args.output, "wb") as fout:
             ivf = IvfWriter(fout, info.width, info.height,
                             info.fps_den, info.fps_num)
-            for y, u, v in rdr.frames():
-                payload, (ry, ru, rv) = enc.encode_frame(y, u, v)
-                ivf.write_frame(payload, n)
-                total_bytes += len(payload)
-                if args.stat_report:
-                    peak = (1 << info.bit_depth) - 1
-                    psnrs.append((psnr(y, ry, peak), psnr(u, ru, peak), psnr(v, rv, peak)))
-                n += 1
-                if args.frames and n >= args.frames:
+            batch = []
+            done = False
+            frame_iter = rdr.frames()
+            while not done:
+                batch.clear()
+                while len(batch) < max(1, args.batch):
+                    try:
+                        batch.append(next(frame_iter))
+                    except StopIteration:
+                        done = True
+                        break
+                    if args.frames and n + len(batch) >= args.frames:
+                        done = True
+                        break
+                if not batch:
                     break
+                payloads, recons = enc.encode_frames(batch)
+                for (y, u, v), payload, (ry, ru, rv) in zip(batch, payloads,
+                                                            recons):
+                    ivf.write_frame(payload, n)
+                    total_bytes += len(payload)
+                    if args.stat_report:
+                        peak = (1 << info.bit_depth) - 1
+                        psnrs.append((psnr(y, ry, peak), psnr(u, ru, peak),
+                                      psnr(v, rv, peak)))
+                    n += 1
             ivf.finalize()
         dt = time.perf_counter() - t0
         fps = n / dt if dt else 0

@@ -20,6 +20,9 @@ def main(argv=None) -> int:
                    help="print MD5 of decoded frames (DecApp-style check)")
     args = p.parse_args(argv)
 
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # decode is host-dominated
+
     from .decoder.decoder import Decoder
     from .utils.ivf import read_ivf
     from .utils.y4m import Y4mInfo, Y4mWriter

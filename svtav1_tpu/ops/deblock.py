@@ -157,6 +157,11 @@ def _filter_core(px, filter_length: int, mblim: int, lim: int, thr: int):
     return out
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("spacing", "filter_length", "level_v",
+                                   "level_h", "sharpness"))
 def deblock_plane_uniform(plane, spacing: int, filter_length: int,
                           level_v: int, level_h: int, sharpness: int = 0):
     """Deblock a plane with uniform TX grid `spacing` (our fixed-block intra
