@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                    help="frames per device batch (amortizes dispatch)")
     p.add_argument("--stat-report", action="store_true")
     args = p.parse_args(argv)
+    if not 0 <= args.qp <= 255:
+        print(f"error: -q/--qp must be 0..255 (got {args.qp})",
+              file=sys.stderr)
+        return 2
 
     import jax
     try:
