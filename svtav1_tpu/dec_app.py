@@ -23,7 +23,7 @@ def main(argv=None) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")   # decode is host-dominated
 
-    from .decoder.decoder import Decoder
+    from .decoder.decoder import DecodeError, Decoder
     from .utils.ivf import read_ivf
     from .utils.y4m import Y4mInfo, Y4mWriter
 
@@ -35,7 +35,11 @@ def main(argv=None) -> int:
         info, frames = read_ivf(f)
         out_f = open(args.output, "wb") if args.output else None
         for payload, _pts in frames:
-            frame = dec.decode_frame_obus(payload)
+            try:
+                frame = dec.decode_frame_obus(payload)
+            except DecodeError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
             if frame is None:
                 continue
             y, u, v = frame

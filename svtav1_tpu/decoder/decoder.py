@@ -29,6 +29,10 @@ from ..utils.obu import (OBU_FRAME, OBU_FRAME_HEADER, OBU_SEQUENCE_HEADER,
                          OBU_TILE_GROUP, parse_obus)
 
 
+class DecodeError(Exception):
+    """Raised for corrupt or unsupported streams."""
+
+
 @dataclass
 class SeqInfo:
     width: int = 0
@@ -387,7 +391,18 @@ class Decoder:
     # ---------------- public ---------------- #
 
     def decode_frame_obus(self, data: bytes):
-        """Decode one temporal unit; returns (y, u, v) or None."""
+        """Decode one temporal unit; returns (y, u, v) or None.
+
+        Raises DecodeError on corrupt/unsupported input."""
+        try:
+            return self._decode_frame_obus(data)
+        except DecodeError:
+            raise
+        except (AssertionError, IndexError, ValueError,
+                NotImplementedError) as e:
+            raise DecodeError(f"corrupt or unsupported stream: {e}") from e
+
+    def _decode_frame_obus(self, data: bytes):
         frame = None
         for obu_type, _, _, payload in parse_obus(data):
             if obu_type == OBU_SEQUENCE_HEADER:
