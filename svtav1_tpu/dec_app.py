@@ -44,9 +44,11 @@ def main(argv=None) -> int:
                 continue
             y, u, v = frame
             if out_f is not None and wtr is None:
+                # IVF timebase is 1/fps: fps_num = timebase_den / timebase_num
                 wtr = Y4mWriter(out_f, Y4mInfo(
-                    y.shape[1], y.shape[0], info["timebase_num"] or 30,
-                    info["timebase_den"] or 1))
+                    y.shape[1], y.shape[0], info["timebase_den"] or 30,
+                    info["timebase_num"] or 1,
+                    bit_depth=dec.seq.bit_depth if dec.seq else 8))
             if wtr:
                 wtr.write_frame(y, u, v)
             if args.md5:

@@ -33,6 +33,13 @@ class DecodeError(Exception):
     """Raised for corrupt or unsupported streams."""
 
 
+def _need(cond, msg):
+    """Unsupported-or-corrupt syntax guard (explicit so `python -O` cannot
+    strip it; reference analogue: EbErrorType returns, EbDecParseObu.c)."""
+    if not cond:
+        raise DecodeError(msg)
+
+
 @dataclass
 class SeqInfo:
     width: int = 0
@@ -73,10 +80,10 @@ class Decoder:
         r = BitReader(payload)
         s = SeqInfo()
         profile = r.f(3)
-        assert profile == 0, "profile 0 only"
+        _need(profile == 0, "profile 0 only")
         r.bit()                       # still_picture
         reduced = r.bit()
-        assert not reduced
+        _need(not reduced, "reduced_still_picture_header")
         if r.bit():                   # timing_info_present
             raise NotImplementedError("timing info")
         r.bit()                       # initial_display_delay_present
@@ -131,22 +138,22 @@ class Decoder:
 
     def _parse_frame_header(self, r: BitReader, seq: SeqInfo) -> FrameInfo:
         fr = FrameInfo()
-        assert r.bit() == 0, "show_existing_frame unsupported"
+        _need(r.bit() == 0, "show_existing_frame unsupported")
         fr.frame_type = r.f(2)
-        assert fr.frame_type == 0, "key frames only (round-1 subset)"
+        _need(fr.frame_type == 0, "key frames only (round-1 subset)")
         fr.show_frame = bool(r.bit())
-        assert fr.show_frame
+        _need(fr.show_frame, "no-show frames")
         fr.disable_cdf_update = bool(r.bit())
-        assert r.bit() == 0           # frame_size_override
+        _need(r.bit() == 0, "frame_size_override")
         if seq.enable_order_hint:
             r.f(seq.order_hint_bits)
         if seq.enable_superres:
-            assert r.bit() == 0
-        assert r.bit() == 0           # render_and_frame_size_different
+            _need(r.bit() == 0, "superres")
+        _need(r.bit() == 0, "render size")
         if not fr.disable_cdf_update:
             r.bit()                   # disable_frame_end_update_cdf
         # tile info (single-tile subset)
-        assert r.bit() == 1           # uniform spacing
+        _need(r.bit() == 1, "uniform tile spacing only")
         sb = 128 if seq.use_128x128_sb else 64
         sb_cols = (seq.width + sb - 1) // sb
         sb_rows = (seq.height + sb - 1) // sb
@@ -169,17 +176,17 @@ class Decoder:
         if tile_cols_log2 or tile_rows_log2:
             r.f(tile_cols_log2 + tile_rows_log2)
             r.f(2)
-        assert tile_cols_log2 == 0 and tile_rows_log2 == 0, "single tile"
+        _need(tile_cols_log2 == 0 and tile_rows_log2 == 0, "single tile")
         # quantization
         fr.base_q_idx = r.f(8)
-        assert r.bit() == 0           # delta_q_y_dc
+        _need(r.bit() == 0, "delta_q_y_dc")
         if not seq.monochrome:
-            assert r.bit() == 0
-            assert r.bit() == 0
-        assert r.bit() == 0           # using_qmatrix
-        assert r.bit() == 0           # segmentation_enabled
+            _need(r.bit() == 0, "delta_q_u_dc")
+            _need(r.bit() == 0, "delta_q_u_ac")
+        _need(r.bit() == 0, "qmatrix")
+        _need(r.bit() == 0, "segmentation")
         if fr.base_q_idx > 0:
-            assert r.bit() == 0       # delta_q_present
+            _need(r.bit() == 0, "delta_q_present")
         l0 = r.f(6)
         l1 = r.f(6)
         fr.filter_level = (l0, l1)
@@ -187,10 +194,11 @@ class Decoder:
             fr.filter_level_u = r.f(6)
             fr.filter_level_v = r.f(6)
         fr.lf_sharpness = r.f(3)
-        assert r.bit() == 0           # loop_filter_delta_enabled
-        assert not seq.enable_cdef and not seq.enable_restoration
+        _need(r.bit() == 0, "loop_filter_delta")
+        _need(not seq.enable_cdef and not seq.enable_restoration,
+              "cdef/restoration")
         fr.tx_mode_select = bool(r.bit())
-        assert not fr.tx_mode_select, "TX_MODE_LARGEST subset"
+        _need(not fr.tx_mode_select, "TX_MODE_LARGEST subset")
         fr.reduced_tx_set = bool(r.bit())
         return fr
 
@@ -225,7 +233,7 @@ class Decoder:
                 t = cdf.partition_cdf[ctx]
                 p64 = dec.decode_symbol(t, 10)
                 cdf.update(t, p64)
-                assert p64 == PARTITION_SPLIT, "fixed 32x32 subset"
+                _need(p64 == PARTITION_SPLIT, "fixed 32x32 subset")
                 for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     br, bc = sb_r * 2 + qr, sb_c * 2 + qc
                     mi_r, mi_c = br * 8, bc * 8
@@ -234,7 +242,7 @@ class Decoder:
                     t = cdf.partition_cdf[ctx]
                     p32 = dec.decode_symbol(t, 10)
                     cdf.update(t, p32)
-                    assert p32 == PARTITION_NONE
+                    _need(p32 == PARTITION_NONE, "fixed 32x32 subset")
                     self._decode_block(
                         dec, cdf, br, bc, bw, seq, fr, y_rec, u_rec, v_rec,
                         skip_grid, mode_grid, above_cul, above_av, left_cul,
@@ -273,7 +281,7 @@ class Decoder:
         t = cdf.uv_mode_cdf[1][y_mode]
         uv_mode = dec.decode_symbol(t, 14)
         cdf.update(t, uv_mode)
-        assert uv_mode == 0, "UV DC subset"
+        _need(uv_mode == 0, "UV DC subset")
 
         planes = ((0, y_rec, 32, TX_32X32, y_mode, angle_delta),
                   (1, u_rec, 16, TX_16X16, uv_mode, 0),
@@ -408,7 +416,7 @@ class Decoder:
             if obu_type == OBU_SEQUENCE_HEADER:
                 self.seq = self._parse_sequence_header(payload)
             elif obu_type == OBU_FRAME:
-                assert self.seq is not None
+                _need(self.seq is not None, "frame before sequence header")
                 r = BitReader(payload)
                 fr = self._parse_frame_header(r, self.seq)
                 r.byte_align()
@@ -424,8 +432,8 @@ class Decoder:
                     v = np.asarray(deblock_plane_uniform(
                         v, 16, 6, fr.filter_level_v, fr.filter_level_v,
                         fr.lf_sharpness))
-                frame = (y.astype(np.uint8), u.astype(np.uint8),
-                         v.astype(np.uint8))
+                dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+                frame = (y.astype(dt), u.astype(dt), v.astype(dt))
             elif obu_type in (OBU_FRAME_HEADER, OBU_TILE_GROUP):
                 raise NotImplementedError("separate frame header OBUs")
         return frame

@@ -208,6 +208,12 @@ def _write_tile_info(w: BitWriter, sb_cols: int, sb_rows: int, sb: int):
     min_log2_tiles = max(min_log2_tile_cols,
                          _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
 
+    if min_log2_tile_cols > 0 or min_log2_tiles > 0:
+        # width > 4096 or area > 4096*2304 forces multiple tiles, but the
+        # assembler emits a single tile payload with no size prefixes —
+        # refuse rather than emit a corrupt stream.
+        raise NotImplementedError(
+            "frame size forces multiple tiles (multi-tile output pending)")
     w.bit(1)                        # uniform_tile_spacing_flag
     # tile_cols_log2: target = min_log2_tile_cols (fewest tiles)
     tile_cols_log2 = min_log2_tile_cols

@@ -25,13 +25,25 @@ def sse(a, b):
 
 
 def variance(a):
-    """(variance*n^2, mean) pair over last two axes, integer math like the
-    reference variance kernels: returns sse - sum^2/n."""
-    x = a.astype(jnp.int64)
+    """n·variance over the last two axes: sse - sum²/n, like the reference
+    variance kernels (Encoder/ASM_*/variance*).
+
+    Exact int32 math without int64 (which JAX silently truncates to int32
+    unless x64 is enabled): every intermediate is computed mod 2^32 — sum
+    of squares wraps, and sum²//n is decomposed with s = q·n + r (n = pixel
+    count, a power of two) so s²//n = q²·n + 2·q·r + r²//n holds exactly
+    mod 2^32.  The wrapped difference equals the true result whenever the
+    true result < 2^31: all 8-bit blocks up to 128x128, 10-bit up to 64x64,
+    12-bit up to 16x16 — the full range ME/TF/variance-boost use."""
+    x = a.astype(jnp.int32)
     n = a.shape[-1] * a.shape[-2]
-    s = jnp.sum(x, axis=(-1, -2))
-    ss = jnp.sum(x * x, axis=(-1, -2))
-    return ss - (s * s) // n
+    k = n.bit_length() - 1
+    assert n == 1 << k, "block pixel count must be a power of two"
+    s = jnp.sum(x, axis=(-1, -2))                      # ≤ 2^26 — exact
+    ss = jnp.sum(x * x, axis=(-1, -2))                 # mod 2^32 (wraps)
+    q, r = s >> k, s & (n - 1)
+    s2n = (q * q) * n + 2 * q * r + (r * r) // n       # s²//n mod 2^32
+    return ss - s2n
 
 
 def hadamard_satd(block):

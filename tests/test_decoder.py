@@ -32,3 +32,23 @@ def test_roundtrip_own_decoder(q, lf):
         for name, mine, theirs in zip("yuv", rec, out):
             np.testing.assert_array_equal(np.asarray(mine).astype(np.uint8),
                                           theirs, err_msg=f"plane {name}")
+
+
+def test_roundtrip_own_decoder_10bit():
+    from svtav1_tpu.decoder.decoder import Decoder
+    from svtav1_tpu.encoder.intra_encoder import EncoderConfig, IntraEncoder
+
+    w, h = 128, 64
+    rng = np.random.RandomState(7)
+    y = rng.randint(0, 1024, (h, w)).astype(np.uint16)
+    u = rng.randint(0, 1024, (h // 2, w // 2)).astype(np.uint16)
+    v = rng.randint(0, 1024, (h // 2, w // 2)).astype(np.uint16)
+    enc = IntraEncoder(EncoderConfig(w, h, qindex=120, bit_depth=10))
+    payload, rec = enc.encode_frame(y, u, v)
+    out = Decoder().decode_frame_obus(payload)
+    assert out is not None
+    for name, mine, theirs in zip("yuv", rec, out):
+        assert theirs.dtype == np.uint16
+        np.testing.assert_array_equal(
+            np.asarray(mine).astype(np.uint16), theirs,
+            err_msg=f"plane {name}")
