@@ -39,9 +39,13 @@ BLK = 32          # luma block size
 CBLK = 16         # chroma block size (4:2:0)
 SB = 64
 
-# candidate modes evaluated everywhere (directional pack comes next round)
-CAND_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED, intra.SMOOTH_PRED,
-              intra.SMOOTH_V_PRED, intra.SMOOTH_H_PRED, intra.PAETH_PRED)
+# all 13 intra modes (the z-order wavefront supplies conformant
+# above-right / below-left edges for the directional predictors)
+CAND_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED,
+              intra.D45_PRED, intra.D135_PRED, intra.D113_PRED,
+              intra.D157_PRED, intra.D203_PRED, intra.D67_PRED,
+              intra.SMOOTH_PRED, intra.SMOOTH_V_PRED, intra.SMOOTH_H_PRED,
+              intra.PAETH_PRED)
 
 
 @dataclass
@@ -60,133 +64,12 @@ def _lambda(qindex: int) -> float:
     return 0.035 * float(ac) * float(ac) / 16.0
 
 
-def _mode_step(tx_size: int, qindex: int, n: int,
-               cand_modes=CAND_MODES):
-    """Build the jitted per-diagonal step: evaluate all candidate modes on a
-    batch of blocks, pick the best, return (mode_idx, levels, recon)."""
-
-    lam = _lambda(qindex)
-
-    @jax.jit
-    def step(src, above, left, corner, have_above, have_left):
-        # src [b, n, n]; above [b, n]; left [b, n]; corner [b]
-        # have_* [b] bool — already folded into substituted edges except DC
-        best_cost = None
-        best = None
-        for mi, mode in enumerate(cand_modes):
-            if mode == intra.DC_PRED:
-                # availability-aware DC: 4 variants blended by flags
-                p_both = intra.dc_pred(above, left, True, True)
-                p_top = intra.dc_pred(above, left, True, False)
-                p_left = intra.dc_pred(above, left, False, True)
-                p_none = intra.dc_pred(above, left, False, False)
-                ha = have_above[:, None, None]
-                hl = have_left[:, None, None]
-                pred = jnp.where(
-                    ha & hl, p_both,
-                    jnp.where(ha, p_top, jnp.where(hl, p_left, p_none)))
-            else:
-                pred = intra.predict(mode, above, left, corner)
-            resid = src - pred
-            coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, 8)
-            lev = quantize(coeff, tx_size, qindex, 8)
-            dq = dequantize(lev, tx_size, qindex, 8)
-            rres = inv_txfm2d(dq, tx_size, DCT_DCT, 8)
-            recon = add_residual_clip(pred, rres, 8)
-            sse = jnp.sum((src - recon) ** 2, axis=(-1, -2)).astype(jnp.float32)
-            nnz = jnp.sum(lev != 0, axis=(-1, -2)).astype(jnp.float32)
-            lvl_bits = jnp.sum(jnp.log2(1.0 + jnp.abs(lev).astype(jnp.float32)),
-                               axis=(-1, -2))
-            rate = 40.0 + 8.0 * nnz + 2.0 * lvl_bits
-            cost = sse + lam * rate
-            pack = (jnp.full(cost.shape, mi, jnp.int32), lev, recon)
-            if best is None:
-                best_cost, best = cost, pack
-            else:
-                take = cost < best_cost
-                best_cost = jnp.where(take, cost, best_cost)
-                best = tuple(
-                    jnp.where(take.reshape((-1,) + (1,) * (b.ndim - 1)), nb, b)
-                    for nb, b in zip(pack, best))
-        return best
-
-    return step
-
-
-def _build_edges(recon: np.ndarray, rs, cs, bs: int, bd: int = 8):
-    """Gather substituted above/left/corner edges for blocks at rows rs*bs,
-    cols cs*bs from the recon plane (normative substitution rules,
-    EbDecIntraPrediction.c:325-408)."""
-    n = len(rs)
-    above = np.empty((n, bs), np.int32)
-    left = np.empty((n, bs), np.int32)
-    corner = np.empty(n, np.int32)
-    base = 1 << (bd - 1)
-    for i, (r, c) in enumerate(zip(rs, cs)):
-        y, x = r * bs, c * bs
-        ha, hl = r > 0, c > 0
-        if ha:
-            above[i] = recon[y - 1, x:x + bs]
-        elif hl:
-            above[i] = recon[y, x - 1]          # left_ref[0]
-        else:
-            above[i] = base - 1
-        if hl:
-            left[i] = recon[y:y + bs, x - 1]
-        elif ha:
-            left[i] = recon[y - 1, x]           # above_ref[0]
-        else:
-            left[i] = base + 1
-        if ha and hl:
-            corner[i] = recon[y - 1, x - 1]
-        elif ha:
-            corner[i] = recon[y - 1, x]
-        elif hl:
-            corner[i] = recon[y, x - 1]
-        else:
-            corner[i] = base
-    return above, left, corner
-
-
-def _encode_plane(plane: np.ndarray, bs: int, step,
-                  cand_modes=CAND_MODES) -> tuple:
-    """Wavefront over the plane; returns (modes [bh,bw], levels [bh,bw,bs,bs],
-    recon plane)."""
-    h, w = plane.shape
-    bh, bw = h // bs, w // bs
-    recon = np.zeros((h, w), np.int32)
-    modes = np.zeros((bh, bw), np.int32)
-    levels = np.zeros((bh, bw, bs, bs), np.int32)
-    src = plane.astype(np.int32)
-
-    for d in range(bh + bw - 1):
-        rs = np.array([r for r in range(max(0, d - bw + 1), min(bh, d + 1))])
-        cs = d - rs
-        above, left, corner = _build_edges(recon, rs, cs, bs)
-        blocks = np.stack([src[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs]
-                           for r, c in zip(rs, cs)])
-        mi, lev, rec = step(jnp.asarray(blocks), jnp.asarray(above),
-                            jnp.asarray(left), jnp.asarray(corner),
-                            jnp.asarray(rs > 0), jnp.asarray(cs > 0))
-        mi, lev, rec = np.asarray(mi), np.asarray(lev), np.asarray(rec)
-        for i, (r, c) in enumerate(zip(rs, cs)):
-            modes[r, c] = cand_modes[mi[i]]
-            levels[r, c] = lev[i]
-            recon[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs] = rec[i]
-    return modes, levels, recon
-
-
 class IntraEncoder:
     def __init__(self, cfg: EncoderConfig):
         if cfg.width % SB or cfg.height % SB:
             raise NotImplementedError("round-1 slice: dims multiple of 64")
         self.cfg = cfg
         self.seq = SequenceConfig(cfg.width, cfg.height, cfg.bit_depth)
-        self._y_step = _mode_step(TX_32X32, cfg.qindex, BLK)
-        # chroma: DC only this round (single signaled uv mode)
-        self._c_step = _mode_step(TX_16X16, cfg.qindex, CBLK,
-                                  (intra.DC_PRED,))
-        self._c_modes = (intra.DC_PRED,)
         self._first = True
 
     # ------------------------------------------------------------------ #

@@ -1,10 +1,20 @@
 """Whole-plane intra mode-decision + reconstruction as ONE jitted scan.
 
-The anti-diagonal wavefront over fixed-size blocks runs as `lax.scan` with the
-recon plane as carry — a single XLA computation per plane per frame batch
-(batch axis = pictures, the reference's picture-parallelism, SURVEY.md §2.9).
-All candidate modes are evaluated with the normative integer ops, so the
-selected levels/recon are final (bit-exact with the decoder).
+The schedule is a 2:1 anti-diagonal wavefront over *quads* (2x2 blocks — the
+SB grouping: 64x64 SB of 32x32 luma blocks, 32x32 chroma region of 16x16
+blocks) with the four blocks of each quad coded z-order inside the step, so
+the recon carry always contains every neighbor the AV1 coding order makes
+available — including the above-right and below-left extended edges the
+directional predictors read.  Dependency audit (quad (R,C) at step
+d = 2R + C, blocks r = 2R+qr, c = 2C+qc):
+  above (r-1,c):  same quad z-order, or quad (R-1,C) at d-2
+  left  (r,c-1):  same quad z-order, or quad (R,C-1) at d-1
+  above-right (r-1,c+1): z0→(R-1,C) d-2; z1→(R-1,C+1) d-1; z2→same-quad z1
+  below-left  (r+1,c-1): only z0 has it → (R,C-1) z3 at d-1
+This replaces the reference's EncDec segment wavefront
+(EbEncDecProcess.c:3266); picture batch = the reference's picture
+parallelism (SURVEY.md §2.9).  All candidate modes are evaluated with the
+normative integer ops, so the selected levels/recon are bit-final.
 """
 
 from __future__ import annotations
@@ -41,27 +51,38 @@ DEFAULT_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED,
 DIRECTIONAL = set(range(1, 9))
 
 
-def _diag_tables(bh: int, bw: int):
-    """Static per-diagonal block coords (+ top-right / bottom-left
-    availability per the SB z-order coding rules, EbIntraPrediction.c:712),
-    padded to D = min(bh, bw)."""
-    ndiag = bh + bw - 1
-    D = min(bh, bw)
-    rs = np.zeros((ndiag, D), np.int32)
-    cs = np.zeros((ndiag, D), np.int32)
-    valid = np.zeros((ndiag, D), bool)
-    has_tr = np.zeros((ndiag, D), bool)
-    has_bl = np.zeros((ndiag, D), bool)
-    for d in range(ndiag):
-        r = np.arange(max(0, d - bw + 1), min(bh, d + 1), dtype=np.int32)
-        c = d - r
-        rs[d, :len(r)] = r
-        cs[d, :len(r)] = c
-        valid[d, :len(r)] = True
-        qr, qc = r % 2, c % 2
-        has_tr[d, :len(r)] = np.where(
-            qr == 0, (r > 0) & (c + 1 < bw), (qc == 0) & (c + 1 < bw))
-        has_bl[d, :len(r)] = (qr == 0) & (qc == 0) & (c > 0) & (r + 1 < bh)
+def _quad_tables(bh: int, bw: int):
+    """Static schedule tables [nsteps, 4, D]: block coords + availability
+    for the quad z-order wavefront.  Availability matches the decoder's
+    z-order rules (has_tr/has_bl as in EbIntraPrediction.c:712 semantics)."""
+    assert bh % 2 == 0 and bw % 2 == 0, "plane must be a whole number of SBs"
+    QH, QW = bh // 2, bw // 2
+    nsteps = 2 * (QH - 1) + (QW - 1) + 1
+    D = 0
+    steps = []
+    for d in range(nsteps):
+        Rs = [R for R in range(QH) if 0 <= d - 2 * R < QW]
+        steps.append(Rs)
+        D = max(D, len(Rs))
+    rs = np.zeros((nsteps, 4, D), np.int32)
+    cs = np.zeros((nsteps, 4, D), np.int32)
+    valid = np.zeros((nsteps, 4, D), bool)
+    has_tr = np.zeros((nsteps, 4, D), bool)
+    has_bl = np.zeros((nsteps, 4, D), bool)
+    for d, Rs in enumerate(steps):
+        for z, (qr, qc) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            for i, R in enumerate(Rs):
+                C = d - 2 * R
+                r, c = 2 * R + qr, 2 * C + qc
+                rs[d, z, i] = r
+                cs[d, z, i] = c
+                valid[d, z, i] = True
+                if qr == 0:
+                    has_tr[d, z, i] = (r > 0) and (c + 1 < bw)
+                else:
+                    has_tr[d, z, i] = (qc == 0) and (c + 1 < bw)
+                has_bl[d, z, i] = (qr == 0 and qc == 0 and c > 0 and
+                                   r + 1 < bh)
     return rs, cs, valid, has_tr, has_bl
 
 
@@ -76,18 +97,19 @@ def _lambda(qindex: int) -> float:
 def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                            modes: tuple = DEFAULT_MODES, bd: int = 8,
                            angle_deltas: tuple = (0,)):
-    """src [B, h, w] uint8/int32 (h, w multiples of bs) →
+    """src [B, h, w] uint8/int32 (h, w multiples of 2*bs) →
     (cand_idx [B, bh, bw], levels [B, bh, bw, bs, bs], recon [B, h, w]).
 
     The candidate list is `expand_candidates(modes, angle_deltas)`; cand_idx
     indexes into it."""
     B, h, w = src.shape
     bh, bw = h // bs, w // bs
-    rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _diag_tables(bh, bw)
-    D = rs_t.shape[1]
+    rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _quad_tables(bh, bw)
+    D = rs_t.shape[2]
     lam = _lambda(qindex)
     src = src.astype(jnp.int32)
     base = 1 << (bd - 1)
+    cands = expand_candidates(modes, angle_deltas)
 
     ar = jnp.arange(bs)
 
@@ -102,8 +124,9 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
         return plane[:, y[:, None, None] + ar[None, :, None],
                      x[:, None, None] + ar[None, None, :]]
 
-    def step(recon, xs):
-        rs, cs, valid, has_tr, has_bl = xs
+    def sub_step(recon, rs, cs, valid, has_tr, has_bl):
+        """Encode one z-position's D blocks; returns updated recon +
+        (best candidate index, levels) [B, D, ...]."""
         y = rs * bs
         x = cs * bs
         ha = (rs > 0)[None, :, None]                     # [1, D, 1]
@@ -122,7 +145,8 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                            jnp.where(ha1, above_real[..., 0],
                                      jnp.where(hl1, left_real[..., 0], base)))
 
-        # top-right / bottom-left extensions (replicate when unavailable)
+        # top-right / bottom-left extensions (replicate when unavailable —
+        # the schedule guarantees available ones are already in the carry)
         tr_real = gather_rows(recon, jnp.maximum(y - 1, 0),
                               jnp.minimum(x + bs, w - bs))
         bl_real = gather_cols(recon, jnp.minimum(y + bs, h - bs),
@@ -136,7 +160,7 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
 
         blocks = gather_blocks(src, y, x)                # [B, D, bs, bs]
 
-        # flatten batch*diag for the mode loop
+        # flatten batch*lane for the mode loop
         fb = lambda t: t.reshape((B * D,) + t.shape[2:])
         f_src, f_above, f_left, f_corner = map(
             fb, (blocks, above, left, corner))
@@ -145,8 +169,7 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
         f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
 
         best_cost = best_mi = best_lev = best_rec = None
-        for mi, (mode, delta) in enumerate(
-                expand_candidates(modes, angle_deltas)):
+        for mi, (mode, delta) in enumerate(cands):
             if mode == intra.DC_PRED:
                 p = [intra.dc_pred(f_above, f_left, a, l, bd)
                      for a, l in ((True, True), (True, False), (False, True),
@@ -192,17 +215,27 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
         rows = y_eff[:, None, None] + ar[None, :, None]
         colx = x[:, None, None] + ar[None, None, :]
         recon = recon.at[:, rows, colx].set(rec_d, mode="drop")
-        return recon, (best_mi.reshape(B, D),
-                       best_lev.reshape(B, D, bs, bs))
+        return recon, best_mi.reshape(B, D), best_lev.reshape(B, D, bs, bs)
+
+    def step(recon, xs):
+        rs, cs, valid, has_tr, has_bl = xs               # each [4, D]
+        mis, levs = [], []
+        for z in range(4):                               # z-order in the quad
+            recon, mi, lev = sub_step(recon, rs[z], cs[z], valid[z],
+                                      has_tr[z], has_bl[z])
+            mis.append(mi)
+            levs.append(lev)
+        return recon, (jnp.stack(mis, 1), jnp.stack(levs, 1))
 
     recon0 = jnp.zeros((B, h, w), jnp.int32)
     recon, (mi_d, lev_d) = jax.lax.scan(
         step, recon0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
                        jnp.asarray(valid_t), jnp.asarray(has_tr_t),
                        jnp.asarray(has_bl_t)))
+    # mi_d [nsteps, B, 4, D]; lev_d [nsteps, B, 4, D, bs, bs]
 
-    # un-diagonalize: [ndiag, B, D, ...] → [B, bh, bw, ...]
-    flat_idx = rs_t * bw + cs_t                          # [ndiag, D]
+    # un-diagonalize: → [B, bh, bw, ...]
+    flat_idx = rs_t * bw + cs_t                          # [nsteps, 4, D]
     mode_idx = jnp.zeros((B, bh * bw), jnp.int32)
     levels = jnp.zeros((B, bh * bw, bs, bs), jnp.int32)
     idx = jnp.asarray(np.where(valid_t, flat_idx, bh * bw))

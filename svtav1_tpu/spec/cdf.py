@@ -58,6 +58,31 @@ class CdfContext:
             if k in _COEF_FIELDS:
                 arr = arr[qc]
             self._t[k] = arr.copy()
+        self._shape_nmv(d["raw_nmvc"].astype(np.uint16))
+
+    def _shape_nmv(self, raw: np.ndarray) -> None:
+        """Slice the NmvContext blob (joints + 2x NmvComponent,
+        EbCabacContextModel.h:527-541) into named tables."""
+        self._t["nmv_joints_cdf"] = raw[:5].copy()
+        comp_fields = (("nmv_classes_cdf", (12,)),
+                       ("nmv_class0_fp_cdf", (2, 5)),
+                       ("nmv_fp_cdf", (5,)),
+                       ("nmv_sign_cdf", (3,)),
+                       ("nmv_class0_hp_cdf", (3,)),
+                       ("nmv_hp_cdf", (3,)),
+                       ("nmv_class0_cdf", (3,)),
+                       ("nmv_bits_cdf", (10, 3)))
+        per_comp = sum(int(np.prod(s)) for _, s in comp_fields)
+        assert 5 + 2 * per_comp == len(raw)
+        for ci in range(2):
+            off = 5 + ci * per_comp
+            for name, shape in comp_fields:
+                n = int(np.prod(shape))
+                arr = raw[off:off + n].reshape(shape).copy()
+                off += n
+                self._t.setdefault(name, [None, None])[ci] = arr
+        for name, _ in comp_fields:
+            self._t[name] = np.stack(self._t[name])    # [2 comps, ...]
 
     def __getattr__(self, name):
         try:

@@ -79,3 +79,37 @@ def test_intra_conformance(tmp_path, q, cdf_update, bd):
         np.testing.assert_array_equal(ry.astype(dtype), dy)
         np.testing.assert_array_equal(ru.astype(dtype), du)
         np.testing.assert_array_equal(rv.astype(dtype), dv)
+
+
+def test_intra_conformance_directional_deltas(tmp_path):
+    """Directional modes with nonzero angle deltas read the above-right /
+    below-left extended edges — the z-order wavefront must supply exactly
+    the spec-available neighbors (the round-1 advisor bug)."""
+    from svtav1_tpu.encoder.intra_encoder import EncoderConfig, IntraEncoder
+    from svtav1_tpu.utils.ivf import IvfWriter
+
+    w, h = 128, 64
+    enc = IntraEncoder(EncoderConfig(w, h, qindex=60,
+                                     angle_deltas=(-2, 0, 2)))
+    # strongly diagonal content to force directional picks
+    yy, xx = np.mgrid[0:h, 0:w]
+    rng = np.random.RandomState(11)
+    y = np.clip(128 + 90 * np.sin((xx + yy) / 6.0) +
+                rng.randint(-3, 4, (h, w)), 0, 255).astype(np.uint8)
+    u = np.clip(120 + 50 * np.sin((xx[::2, ::2] - yy[::2, ::2]) / 9.0),
+                0, 255).astype(np.uint8)
+    v = np.clip(130 + 50 * np.cos((xx[::2, ::2] + 2 * yy[::2, ::2]) / 7.0),
+                0, 255).astype(np.uint8)
+    payload, rec = enc.encode_frame(y, u, v)
+    ivf_path = tmp_path / "d.ivf"
+    with open(ivf_path, "wb") as f:
+        ivf = IvfWriter(f, w, h)
+        ivf.write_frame(payload, 0)
+        ivf.finalize()
+    yuv = tmp_path / "d.yuv"
+    r = subprocess.run([str(AV1DEC), str(ivf_path), str(yuv)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    data = np.fromfile(yuv, np.uint8)
+    dy = data[:w * h].reshape(h, w)
+    np.testing.assert_array_equal(np.asarray(rec[0]).astype(np.uint8), dy)
