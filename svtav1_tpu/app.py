@@ -28,6 +28,8 @@ def main(argv=None) -> int:
                    help="base qindex 0-255")
     p.add_argument("-n", "--frames", type=int, default=0,
                    help="max frames (0 = all)")
+    p.add_argument("--keyint", type=int, default=64,
+                   help="key frame interval (1 = all-intra)")
     p.add_argument("--no-cdf-update", action="store_true")
     p.add_argument("--batch", type=int, default=8,
                    help="frames per device batch (amortizes dispatch)")
@@ -47,6 +49,7 @@ def main(argv=None) -> int:
         pass
 
     from .encoder.intra_encoder import EncoderConfig, IntraEncoder
+    from .encoder.video_encoder import VideoEncoder
     from .utils.ivf import IvfWriter
     from .utils.y4m import Y4mReader
 
@@ -56,10 +59,14 @@ def main(argv=None) -> int:
         if info.subsampling != "420":
             print("4:2:0 only for now", file=sys.stderr)
             return 1
-        enc = IntraEncoder(EncoderConfig(
-            info.width, info.height, qindex=args.qp,
-            bit_depth=info.bit_depth,
-            cdf_update=not args.no_cdf_update))
+        cfg = EncoderConfig(info.width, info.height, qindex=args.qp,
+                            bit_depth=info.bit_depth,
+                            cdf_update=not args.no_cdf_update)
+        if args.keyint == 1:
+            enc = IntraEncoder(cfg)      # batched all-intra path
+        else:
+            enc = VideoEncoder(cfg, keyint=args.keyint)
+            args.batch = 1               # low-delay P is reference-serial
         t0 = time.perf_counter()
         n = 0
         total_bytes = 0
@@ -67,23 +74,26 @@ def main(argv=None) -> int:
         with open(args.output, "wb") as fout:
             ivf = IvfWriter(fout, info.width, info.height,
                             info.fps_den, info.fps_num)
-            batch = []
             done = False
             frame_iter = rdr.frames()
-            while not done:
-                batch.clear()
+            pending = None          # (batch, device outputs) in flight
+
+            def read_batch():
+                nonlocal done
+                batch = []
                 while len(batch) < max(1, args.batch):
                     try:
                         batch.append(next(frame_iter))
                     except StopIteration:
                         done = True
                         break
-                    if args.frames and n + len(batch) >= args.frames:
+                    if args.frames and n_read[0] + len(batch) >= args.frames:
                         done = True
                         break
-                if not batch:
-                    break
-                payloads, recons = enc.encode_frames(batch)
+                return batch
+
+            def finish(batch, payloads, recons):
+                nonlocal n, total_bytes
                 for (y, u, v), payload, (ry, ru, rv) in zip(batch, payloads,
                                                             recons):
                     ivf.write_frame(payload, n)
@@ -93,6 +103,27 @@ def main(argv=None) -> int:
                         psnrs.append((psnr(y, ry, peak), psnr(u, ru, peak),
                                       psnr(v, rv, peak)))
                     n += 1
+
+            n_read = [0]
+            pipelined = hasattr(enc, "device_encode")
+            while not done:
+                batch = read_batch()
+                n_read[0] += len(batch)
+                if not batch:
+                    break
+                if pipelined:
+                    # dispatch device stage for this batch (async), then
+                    # entropy-code the previous batch while it runs
+                    dev = enc.device_encode(batch)
+                    if pending is not None:
+                        pbatch, pdev = pending
+                        finish(pbatch, *enc.host_finish(pdev))
+                    pending = (batch, dev)
+                else:
+                    finish(batch, *enc.encode_frames(batch))
+            if pending is not None:
+                pbatch, pdev = pending
+                finish(pbatch, *enc.host_finish(pdev))
             ivf.finalize()
         dt = time.perf_counter() - t0
         fps = n / dt if dt else 0

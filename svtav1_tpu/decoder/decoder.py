@@ -14,9 +14,13 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..ec import inter_modes as IM
 from ..ec.coeffs import read_coeffs_txb
 from ..ec.modes import INTRA_MODE_CONTEXT, PARTITION_NONE, PARTITION_SPLIT
+from ..ec.mvpred import MiGrid, find_mv_stack
 from ..ec.range_coder import RangeDecoder
+from ..ops.mc import MV_PRED_PAD, pad_plane_np, predict_inter_block_np
+from ..spec import mv as MV
 from ..ops import intra
 from ..ops.deblock import deblock_plane_uniform
 from ..ops.intra_dir import dr_pred
@@ -68,11 +72,16 @@ class FrameInfo:
     filter_level_u: int = 0
     filter_level_v: int = 0
     lf_sharpness: int = 0
+    refresh_frame_flags: int = 0xFF
+    ref_frame_idx: tuple = (0,) * 7
+    allow_high_precision_mv: bool = False
+    interpolation_filter: int = 0
 
 
 class Decoder:
     def __init__(self) -> None:
         self.seq: SeqInfo | None = None
+        self.dpb = [None] * 8        # (y, u, v) reconstructed refs
 
     # ---------------- headers ---------------- #
 
@@ -140,16 +149,29 @@ class Decoder:
         fr = FrameInfo()
         _need(r.bit() == 0, "show_existing_frame unsupported")
         fr.frame_type = r.f(2)
-        _need(fr.frame_type == 0, "key frames only (round-1 subset)")
+        _need(fr.frame_type in (0, 1), "intra-only / switch frames")
+        is_inter = fr.frame_type == 1
         fr.show_frame = bool(r.bit())
         _need(fr.show_frame, "no-show frames")
+        if is_inter:
+            _need(r.bit() == 0, "error_resilient_mode")
         fr.disable_cdf_update = bool(r.bit())
         _need(r.bit() == 0, "frame_size_override")
         if seq.enable_order_hint:
             r.f(seq.order_hint_bits)
+        if is_inter:
+            _need(r.f(3) == 7, "primary_ref_frame (PRIMARY_REF_NONE only)")
+            fr.refresh_frame_flags = r.f(8)
+            fr.ref_frame_idx = tuple(r.f(3) for _ in range(7))
         if seq.enable_superres:
             _need(r.bit() == 0, "superres")
         _need(r.bit() == 0, "render size")
+        if is_inter:
+            fr.allow_high_precision_mv = bool(r.bit())
+            _need(not fr.allow_high_precision_mv, "high-precision mv")
+            _need(r.bit() == 0, "switchable interp filter")
+            fr.interpolation_filter = r.f(2)
+            _need(r.bit() == 0, "motion mode switchable")
         if not fr.disable_cdf_update:
             r.bit()                   # disable_frame_end_update_cdf
         # tile info (single-tile subset)
@@ -199,7 +221,12 @@ class Decoder:
               "cdef/restoration")
         fr.tx_mode_select = bool(r.bit())
         _need(not fr.tx_mode_select, "TX_MODE_LARGEST subset")
+        if is_inter:
+            _need(r.bit() == 0, "reference_select (compound)")
         fr.reduced_tx_set = bool(r.bit())
+        if is_inter:
+            for _ in range(7):
+                _need(r.bit() == 0, "global motion params")
         return fr
 
     # ---------------- tile ---------------- #
@@ -396,6 +423,191 @@ class Decoder:
         return np.asarray(intra.predict(
             mode, above[None], left[None], np.array([corner], np.int32)))[0]
 
+    # ---------------- inter tile ---------------- #
+
+    def _decode_tile_inter(self, data: bytes, seq: SeqInfo, fr: FrameInfo):
+        """Inter (P) frame tile: mirror of encoder/tile_inter.py.
+        Reference: EbDecParseBlock.c inter_frame_mode_info +
+        EbDecParseInterBlock.c."""
+        w, h = seq.width, seq.height
+        ref = self.dpb[fr.ref_frame_idx[0]]
+        _need(ref is not None, "missing reference frame")
+        ry_p = pad_plane_np(ref[0])
+        ru_p = pad_plane_np(ref[1])
+        rv_p = pad_plane_np(ref[2])
+        dec = RangeDecoder(data)
+        cdf = CdfContext(fr.base_q_idx, update=not fr.disable_cdf_update)
+        mi_cols, mi_rows = w // 4, h // 4
+        grid = MiGrid(mi_rows, mi_cols)
+        y_rec = np.zeros((h, w), np.int32)
+        u_rec = np.zeros((h // 2, w // 2), np.int32)
+        v_rec = np.zeros((h // 2, w // 2), np.int32)
+
+        above_part = np.zeros(mi_cols, np.uint8)
+        skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        above_cul = {0: np.zeros(w // 4, np.uint8),
+                     1: np.zeros(w // 8, np.uint8),
+                     2: np.zeros(w // 8, np.uint8)}
+        above_av = {p: np.zeros_like(above_cul[p], bool) for p in range(3)}
+
+        for sb_r in range(h // 64):
+            left_part = np.zeros(16, np.uint8)
+            left_cul = {0: np.zeros(16, np.uint8),
+                        1: np.zeros(8, np.uint8), 2: np.zeros(8, np.uint8)}
+            left_av = {p: np.zeros_like(left_cul[p], bool) for p in range(3)}
+            for sb_c in range(w // 64):
+                mi_c0 = sb_c * 16
+                ctx = self._part_ctx(above_part[mi_c0], left_part[0], 3)
+                t = cdf.partition_cdf[ctx]
+                p64 = dec.decode_symbol(t, 10)
+                cdf.update(t, p64)
+                _need(p64 == PARTITION_SPLIT, "fixed 32x32 subset")
+                for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    br, bc = sb_r * 2 + qr, sb_c * 2 + qc
+                    mi_r, mi_c = br * 8, bc * 8
+                    ctx = self._part_ctx(above_part[mi_c], left_part[qr * 8],
+                                         2)
+                    t = cdf.partition_cdf[ctx]
+                    p32 = dec.decode_symbol(t, 10)
+                    cdf.update(t, p32)
+                    _need(p32 == PARTITION_NONE, "fixed 32x32 subset")
+                    self._decode_block_inter(
+                        dec, cdf, grid, br, bc, seq, fr, y_rec, u_rec,
+                        v_rec, ry_p, ru_p, rv_p, skip_grid, above_cul,
+                        above_av, left_cul, left_av)
+                    above_part[mi_c:mi_c + 8] = 24
+                    left_part[qr * 8:qr * 8 + 8] = 24
+        return y_rec, u_rec, v_rec
+
+    def _decode_block_inter(self, dec, cdf, grid, br, bc, seq, fr, y_rec,
+                            u_rec, v_rec, ry_p, ru_p, rv_p, skip_grid,
+                            above_cul, above_av, left_cul, left_av):
+        w, h = seq.width, seq.height
+        mi_r, mi_c = br * 8, bc * 8
+        have_above, have_left = mi_r > 0, mi_c > 0
+
+        a_skip = int(skip_grid[mi_r - 1, mi_c]) if have_above else 0
+        l_skip = int(skip_grid[mi_r, mi_c - 1]) if have_left else 0
+        t = cdf.skip_cdfs[a_skip + l_skip]
+        skip = dec.decode_symbol(t)
+        cdf.update(t, skip)
+
+        above_inter = grid.is_inter(mi_r - 1, mi_c) if have_above else None
+        left_inter = grid.is_inter(mi_r, mi_c - 1) if have_left else None
+        is_inter = IM.read_is_inter(
+            dec, cdf, IM.intra_inter_ctx(above_inter, left_inter))
+
+        y_mode = 0
+        angle_delta = 0
+        mv = (0, 0)
+        if is_inter:
+            a_ref = int(grid.ref0[mi_r - 1, mi_c]) if have_above else None
+            l_ref = int(grid.ref0[mi_r, mi_c - 1]) if have_left else None
+            counts = IM.neighbor_ref_counts(
+                a_ref if (a_ref or 0) >= 1 else None,
+                l_ref if (l_ref or 0) >= 1 else None)
+            IM.read_ref_frame_single(dec, cdf, counts)
+            res = find_mv_stack(grid, mi_r, mi_c, 8, 8)
+            mode = IM.read_inter_mode(dec, cdf, res.mode_context)
+            ref_mv_idx = 0
+            if mode in (MV.NEWMV, MV.NEARMV):
+                ref_mv_idx = IM.read_drl_idx(dec, cdf, mode, res.stack,
+                                             res.num_found)
+            if mode == MV.NEARESTMV:
+                mv = res.nearest_mv
+            elif mode == MV.NEARMV:
+                if ref_mv_idx > 0:
+                    mv = res.stack[1 + ref_mv_idx][:2]
+                else:
+                    mv = res.near_mv
+            elif mode == MV.GLOBALMV:
+                mv = (0, 0)
+            else:                     # NEWMV
+                if res.num_found > 1:
+                    ref_mv = res.stack[ref_mv_idx][:2]
+                else:
+                    ref_mv = res.nearest_mv
+                mv = IM.read_mv(dec, cdf, ref_mv)
+            grid.set_block(mi_r, mi_c, 8, 8, MV.LAST_FRAME, mode,
+                           mv[0], mv[1])
+        else:
+            y_mode = IM.read_y_mode_inter(dec, cdf)
+            if 1 <= y_mode <= 8:
+                t = cdf.angle_delta_cdf[y_mode - 1]
+                angle_delta = dec.decode_symbol(t) - 3
+                cdf.update(t, angle_delta + 3)
+            t = cdf.uv_mode_cdf[1][y_mode]
+            uv_mode = dec.decode_symbol(t, 14)
+            cdf.update(t, uv_mode)
+            _need(uv_mode == 0, "UV DC subset")
+            grid.set_block(mi_r, mi_c, 8, 8, MV.INTRA_FRAME, y_mode)
+
+        planes = ((0, y_rec, 32, TX_32X32, ry_p),
+                  (1, u_rec, 16, TX_16X16, ru_p),
+                  (2, v_rec, 16, TX_16X16, rv_p))
+        bw_blocks = w // 32
+        for plane, rec, bs, txs, refp in planes:
+            shift = 0 if plane == 0 else 1
+            y0, x0 = br * (32 >> shift), bc * (32 >> shift)
+            units = (32 >> shift) // 4
+            au0 = (bc * 32 >> shift) // 4
+            lu0 = ((br * 32 >> shift) // 4) % (16 >> shift)
+            if not skip:
+                if plane == 0:
+                    tctx = 0
+                else:
+                    a_nz = (above_cul[plane][au0:au0 + units] &
+                            0x3F)[above_av[plane][au0:au0 + units]]
+                    l_nz = (left_cul[plane][lu0:lu0 + units] &
+                            0x3F)[left_av[plane][lu0:lu0 + units]]
+                    tctx = 7 + int((a_nz != 0).any()) + int((l_nz != 0).any())
+                signs = 0
+                for culs, avs in ((above_cul[plane][au0:au0 + units],
+                                   above_av[plane][au0:au0 + units]),
+                                  (left_cul[plane][lu0:lu0 + units],
+                                   left_av[plane][lu0:lu0 + units])):
+                    for cl, av in zip(culs, avs):
+                        if av:
+                            sgn = int(cl) >> 6
+                            signs += 1 if sgn == 2 else (-1 if sgn == 1
+                                                         else 0)
+                dctx = 2 if signs > 0 else (1 if signs < 0 else 0)
+                lev = read_coeffs_txb(dec, cdf, bs, bs, txs, DCT_DCT,
+                                      min(plane, 1), tctx, dctx,
+                                      is_inter=is_inter)
+                cul = min(63, int(np.abs(lev).sum()))
+                dcv = int(lev[0, 0])
+                if dcv < 0:
+                    cul |= 1 << 6
+                elif dcv > 0:
+                    cul += 2 << 6
+            else:
+                lev = np.zeros((bs, bs), np.int32)
+                cul = 0
+            above_cul[plane][au0:au0 + units] = cul
+            above_av[plane][au0:au0 + units] = True
+            left_cul[plane][lu0:lu0 + units] = cul
+            left_av[plane][lu0:lu0 + units] = True
+
+            if is_inter:
+                pred = predict_inter_block_np(refp, y0, x0, mv, h, w, bs,
+                                              shift, seq.bit_depth)
+            else:
+                pred = self._predict(rec, y0, x0, bs, y_mode if plane == 0
+                                     else 0, angle_delta if plane == 0
+                                     else 0, br, bc, bw_blocks, seq)
+            if lev.any():
+                dq = dequantize(lev[None], txs, fr.base_q_idx,
+                                seq.bit_depth)
+                resid = inv_txfm2d(dq, txs, DCT_DCT, seq.bit_depth)
+                blk = np.asarray(add_residual_clip(pred[None], resid,
+                                                   seq.bit_depth))[0]
+            else:
+                blk = pred
+            rec[y0:y0 + bs, x0:x0 + bs] = blk
+
+        skip_grid[mi_r:mi_r + 8, mi_c:mi_c + 8] = skip
+
     # ---------------- public ---------------- #
 
     def decode_frame_obus(self, data: bytes):
@@ -421,7 +633,11 @@ class Decoder:
                 fr = self._parse_frame_header(r, self.seq)
                 r.byte_align()
                 tile_data = payload[r.bits_read // 8:]
-                y, u, v = self._decode_tile(tile_data, self.seq, fr)
+                if fr.frame_type == 1:
+                    y, u, v = self._decode_tile_inter(tile_data, self.seq,
+                                                      fr)
+                else:
+                    y, u, v = self._decode_tile(tile_data, self.seq, fr)
                 if fr.filter_level[0] or fr.filter_level[1]:
                     y = np.asarray(deblock_plane_uniform(
                         y, 32, 14, fr.filter_level[0], fr.filter_level[1],
@@ -434,6 +650,13 @@ class Decoder:
                         fr.lf_sharpness))
                 dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
                 frame = (y.astype(dt), u.astype(dt), v.astype(dt))
+                refresh = (0xFF if fr.frame_type == 0
+                           else fr.refresh_frame_flags)
+                ref_entry = (y.astype(np.int32), u.astype(np.int32),
+                             v.astype(np.int32))
+                for slot in range(8):
+                    if refresh & (1 << slot):
+                        self.dpb[slot] = ref_entry
             elif obu_type in (OBU_FRAME_HEADER, OBU_TILE_GROUP):
                 raise NotImplementedError("separate frame header OBUs")
         return frame

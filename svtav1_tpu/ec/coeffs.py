@@ -140,6 +140,23 @@ def br_contexts(levels2d, tx_class: int) -> np.ndarray:
     return out
 
 
+def _inter_tx_nsyms(tx_size: int, reduced_tx_set: bool) -> int:
+    """Number of coded tx types for an inter luma TXB (spec get_tx_set):
+    sqr-up 64 → DCT only; sqr-up 32 (or any size under reduced_tx_set) →
+    EXT_TX_SET_DCT_IDTX {IDTX, DCT}."""
+    if tbl.txsize_sqr_up(tx_size) > 3:
+        return 1
+    if tbl.txsize_sqr_up(tx_size) == 3 or reduced_tx_set:
+        return 2
+    raise NotImplementedError("full inter tx-type sets (reduced_tx_set=0)")
+
+
+# symbol value of DCT_DCT in EXT_TX_SET_DCT_IDTX (av1_ext_tx_ind[1][0],
+# EbCabacContextModel.h:688); the CDF set index for inter DCT_IDTX is 3
+_DCT_IN_DCT_IDTX = 1
+_ESET_DCT_IDTX = 3
+
+
 def write_golomb(enc, level: int) -> None:
     x = level + 1
     length = x.bit_length()
@@ -151,7 +168,8 @@ def write_golomb(enc, level: int) -> None:
 
 def write_coeffs_txb(enc, cdf, levels2d: np.ndarray, tx_size: int,
                      tx_type: int, plane_type: int, txb_skip_ctx: int,
-                     dc_sign_ctx: int) -> int:
+                     dc_sign_ctx: int, is_inter: bool = False,
+                     reduced_tx_set: bool = True) -> int:
     """Write one transform block's quantized levels; returns cul_level
     (bottom 6 bits = clamped level sum, bits 6+ = dc sign code).
 
@@ -173,6 +191,15 @@ def write_coeffs_txb(enc, cdf, levels2d: np.ndarray, tx_size: int,
     cdf.update(c_skip, sym)
     if eob == 0:
         return 0
+
+    # transform_type (spec §5.11.47): luma inter TXBs with a >1-entry tx
+    # set code the type right after all_zero; we emit DCT_DCT
+    if plane_type == 0 and is_inter:
+        if _inter_tx_nsyms(tx_size, reduced_tx_set) > 1:
+            assert tx_type == 0, "inter tx types beyond DCT not coded yet"
+            t = cdf.inter_ext_tx_cdf[_ESET_DCT_IDTX][tbl.txsize_sqr(tx_size)]
+            enc.encode_symbol(_DCT_IN_DCT_IDTX, t, 2)
+            cdf.update(t, _DCT_IN_DCT_IDTX, 2)
 
     # eob token
     eob_pt, eob_extra = eob_pos_token(eob)
@@ -252,7 +279,8 @@ def write_coeffs_txb(enc, cdf, levels2d: np.ndarray, tx_size: int,
 
 def read_coeffs_txb(dec, cdf, h: int, w: int, tx_size: int, tx_type: int,
                     plane_type: int, txb_skip_ctx: int,
-                    dc_sign_ctx: int) -> np.ndarray:
+                    dc_sign_ctx: int, is_inter: bool = False,
+                    reduced_tx_set: bool = True) -> np.ndarray:
     """Parse one transform block (decoder mirror of write_coeffs_txb,
     reference: EbDecParseBlock.c parse_coeffs).  Returns levels [h, w]."""
     scan = tbl.scan(tx_size, tx_type).astype(np.int64)
@@ -265,6 +293,14 @@ def read_coeffs_txb(dec, cdf, h: int, w: int, tx_size: int, tx_type: int,
     cdf.update(c_skip, all_zero)
     if all_zero:
         return levels
+
+    if plane_type == 0 and is_inter:
+        if _inter_tx_nsyms(tx_size, reduced_tx_set) > 1:
+            t = cdf.inter_ext_tx_cdf[_ESET_DCT_IDTX][tbl.txsize_sqr(tx_size)]
+            sym = dec.decode_symbol(t, 2)
+            cdf.update(t, sym, 2)
+            if sym != _DCT_IN_DCT_IDTX:
+                raise NotImplementedError("IDTX inter transform")
 
     eob_multi_size = (w * h).bit_length() - 1 - 4
     eob_multi_ctx = 0 if tx_class == TX_CLASS_2D else 1

@@ -49,7 +49,7 @@ class SequenceConfig:
 
 @dataclass
 class FrameConfig:
-    frame_type: int = 0             # KEY_FRAME
+    frame_type: int = 0             # 0 KEY_FRAME, 1 INTER_FRAME
     show_frame: bool = True
     base_q_idx: int = 100
     disable_cdf_update: bool = True
@@ -61,6 +61,14 @@ class FrameConfig:
     filter_level_u: int = 0
     filter_level_v: int = 0
     lf_sharpness: int = 0
+    # inter-frame fields (low-delay P defaults: all refs → DPB slot 0,
+    # refresh slot 0, CDFs reset per frame via PRIMARY_REF_NONE)
+    error_resilient: bool = False
+    primary_ref_frame: int = 7      # PRIMARY_REF_NONE
+    refresh_frame_flags: int = 0x01
+    ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
+    allow_high_precision_mv: bool = False
+    interpolation_filter: int = 0   # EIGHTTAP_REGULAR (frame-level)
 
 
 def write_sequence_header_obu(cfg: SequenceConfig) -> bytes:
@@ -125,19 +133,35 @@ def write_sequence_header_obu(cfg: SequenceConfig) -> bytes:
 
 def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
                        for_obu_frame: bool = True) -> BitWriter:
-    """Uncompressed frame header bits for a KEY intra frame (no refs)."""
+    """Uncompressed frame header bits (spec §5.9.2) for shown KEY intra
+    frames and single-reference low-delay INTER frames.  Field order
+    matches the reference writer (EbEntropyCoding.c:3309
+    write_uncompressed_header_obu)."""
     w = BitWriter()
+    is_inter = fr.frame_type == 1
     w.bit(0)                        # show_existing_frame
     w.f(fr.frame_type, 2)
     w.bit(1 if fr.show_frame else 0)
-    # error_resilient_mode: KEY+show → inferred, not coded
-    if not (fr.frame_type == 0 and fr.show_frame):
-        raise NotImplementedError("only shown key frames in round-1 slice")
+    if not fr.show_frame:
+        raise NotImplementedError("no-show frames")
+    if fr.frame_type not in (0, 1):
+        raise NotImplementedError("intra-only / switch frames")
+    if is_inter:
+        w.bit(1 if fr.error_resilient else 0)
     w.bit(1 if fr.disable_cdf_update else 0)
     # allow_screen_content_tools: seq_force==0 → inferred 0
+    # force_integer_mv: inferred 0 (seq_force_integer_mv == SELECT but
+    # allow_screen_content_tools == 0)
     w.bit(0)                        # frame_size_override_flag
     if seq.enable_order_hint:
         w.f(0, seq.order_hint_bits)  # order_hint
+    if is_inter and not fr.error_resilient:
+        w.f(fr.primary_ref_frame, 3)
+    if is_inter:
+        w.f(fr.refresh_frame_flags, 8)
+        # ref_order_hint: only if error_resilient && enable_order_hint
+        for i in range(7):
+            w.f(fr.ref_frame_idx[i], 3)
     # refresh_frame_flags: KEY+show → inferred 0xFF
 
     # frame_size: override 0 → max size; superres disabled at seq → skip
@@ -145,7 +169,13 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
         w.bit(0)                    # use_superres
     w.bit(0)                        # render_and_frame_size_different
 
-    # allow_intrabc: only if allow_screen_content_tools
+    if is_inter:
+        w.bit(1 if fr.allow_high_precision_mv else 0)
+        w.bit(0)                    # is_filter_switchable
+        w.f(fr.interpolation_filter, 2)
+        w.bit(0)                    # is_motion_mode_switchable
+        # use_ref_frame_mvs: needs enable_order_hint → skip
+    # allow_intrabc: only if allow_screen_content_tools (key/intra frames)
     if not fr.disable_cdf_update:
         w.bit(1 if fr.disable_frame_end_update_cdf else 0)
     # tile_info
@@ -189,10 +219,15 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
 
     # read_tx_mode
     w.bit(1 if fr.tx_mode_select else 0)
-    # frame_reference_mode: intra → skip; skip_mode: not allowed → skip
-    # allow_warped_motion: intra → skip
+    if is_inter:
+        w.bit(0)                    # reference_select (SINGLE_REFERENCE)
+    # skip_mode: not allowed (no reference_select / order hints) → skip
+    # allow_warped_motion: seq enable_warped_motion=0 → inferred 0
     w.bit(1 if fr.reduced_tx_set else 0)
-    # global_motion: intra → skip; film grain: not present → skip
+    if is_inter:
+        for _ in range(7):
+            w.bit(0)                # global_motion: is_global per ref
+    # film grain: not present → skip
     return w
 
 
@@ -241,8 +276,8 @@ def _tile_log2(blk_size: int, target: int) -> int:
     return k
 
 
-def assemble_key_frame(seq: SequenceConfig, fr: FrameConfig,
-                       tile_payload: bytes, first: bool = True) -> bytes:
+def assemble_frame(seq: SequenceConfig, fr: FrameConfig,
+                   tile_payload: bytes, first: bool = False) -> bytes:
     """TD + (sequence header if first) + OBU_FRAME(frame hdr + tile group)."""
     out = wrap_obu(OBU_TEMPORAL_DELIMITER, b"")
     if first:
@@ -254,3 +289,8 @@ def assemble_key_frame(seq: SequenceConfig, fr: FrameConfig,
     payload = hdr.data() + tile_payload
     out += wrap_obu(OBU_FRAME, payload)
     return out
+
+
+def assemble_key_frame(seq: SequenceConfig, fr: FrameConfig,
+                       tile_payload: bytes, first: bool = True) -> bytes:
+    return assemble_frame(seq, fr, tile_payload, first)

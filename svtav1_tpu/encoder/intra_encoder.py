@@ -79,8 +79,13 @@ class IntraEncoder:
         return payloads[0], recons[0]
 
     def encode_frames(self, frames):
-        """Batched all-intra encode: device wavefront over the whole batch in
-        one dispatch per plane; host entropy codes each frame."""
+        return self.host_finish(self.device_encode(frames))
+
+    def device_encode(self, frames):
+        """Dispatch the device stage for a batch (async — returns device
+        arrays without blocking, so host entropy coding of the previous
+        batch can overlap; the reference's process pipelining,
+        SURVEY.md §2.9)."""
         cfg = self.cfg
         yb = np.stack([f[0] for f in frames])
         ub = np.stack([f[1] for f in frames])
@@ -93,29 +98,49 @@ class IntraEncoder:
             ub, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd)
         v_mi, v_lev, v_rec = encode_plane_wavefront(
             vb, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd)
-        y_mi = np.asarray(y_mi)
-        y_lev, u_lev, v_lev = map(np.asarray, (y_lev, u_lev, v_lev))
         lf = self.lf_levels()
         if lf[0] or lf[1]:
             y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1])
             u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2])
             v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3])
+        return len(frames), y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec
+
+    def host_finish(self, dev):
+        """Entropy-code a device batch (blocks on the device arrays)."""
+        cfg = self.cfg
+        n, y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec = dev
+        y_mi = np.asarray(y_mi)
+        y_lev, u_lev, v_lev = map(np.asarray, (y_lev, u_lev, v_lev))
         y_rec, u_rec, v_rec = map(np.asarray, (y_rec, u_rec, v_rec))
-        payloads, recons = [], []
         cands = expand_candidates(CAND_MODES, tuple(cfg.angle_deltas))
-        for b in range(len(frames)):
-            y_modes = np.array(
-                [[cands[i][0] for i in row] for row in y_mi[b]], np.int32)
-            y_deltas = np.array(
-                [[cands[i][1] for i in row] for row in y_mi[b]], np.int32)
-            tile = self._encode_tile(y_modes, y_lev[b], u_lev[b], v_lev[b],
+        cand_mode = np.array([c[0] for c in cands], np.int32)
+        cand_delta = np.array([c[1] for c in cands], np.int32)
+
+        def code_one(b):
+            y_modes = cand_mode[y_mi[b]]
+            y_deltas = cand_delta[y_mi[b]]
+            return self._encode_tile(y_modes, y_lev[b], u_lev[b], v_lev[b],
                                      None, y_deltas)
+
+        # frames have independent CDF contexts → per-frame tile coding runs
+        # in parallel host threads (the native coder releases the GIL; the
+        # reference's picture-parallel entropy coding, EbEncHandle.c:763)
+        if n > 1 and getattr(self, "use_native", True):
+            from concurrent.futures import ThreadPoolExecutor
+            if not hasattr(self, "_ec_pool"):
+                self._ec_pool = ThreadPoolExecutor(max_workers=4)
+            tiles = list(self._ec_pool.map(code_one, range(n)))
+        else:
+            tiles = [code_one(b) for b in range(n)]
+
+        payloads, recons = [], []
+        for b in range(n):
             lfv = self.lf_levels()
             fr = FrameConfig(base_q_idx=cfg.qindex,
                              disable_cdf_update=not cfg.cdf_update,
                              filter_level=(lfv[0], lfv[1]),
                              filter_level_u=lfv[2], filter_level_v=lfv[3])
-            payloads.append(assemble_key_frame(self.seq, fr, tile,
+            payloads.append(assemble_key_frame(self.seq, fr, tiles[b],
                                                first=self._first))
             self._first = False
             recons.append((y_rec[b], u_rec[b], v_rec[b]))

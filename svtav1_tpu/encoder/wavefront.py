@@ -245,3 +245,176 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
         jnp.moveaxis(lev_d, 1, 0), mode="drop")
     return (mode_idx.reshape(B, bh, bw),
             levels.reshape(B, bh, bw, bs, bs), recon)
+
+
+@partial(jax.jit,
+         static_argnames=("bs", "tx_size", "qindex", "modes", "bd",
+                          "angle_deltas", "n_extra"))
+def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
+                                 extra_preds, extra_rate, extra_ok,
+                                 intra_ok, n_extra: int,
+                                 modes: tuple = DEFAULT_MODES, bd: int = 8,
+                                 angle_deltas: tuple = (0,)):
+    """Wavefront mode decision with precomputed non-intra candidates
+    (the inter path of the EncDec loop, EbProductCodingLoop.c MDSx inter
+    classes → here dense candidate tensors evaluated alongside intra).
+
+    extra_preds [B, nE, bh, bw, bs, bs] int32 — bit-final predictions
+    (e.g. NEWMV / GLOBALMV motion compensation); extra_rate [B, nE, bh, bw]
+    float32 — rate estimate (bits); extra_ok [B, nE, bh, bw] bool;
+    intra_ok [B, bh, bw] bool.  Returns (cand_idx, levels, recon) where
+    cand_idx < n_intra selects the intra candidate list and cand_idx >=
+    n_intra selects extra candidate (cand_idx - n_intra)."""
+    B, h, w = src.shape
+    bh, bw = h // bs, w // bs
+    rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _quad_tables(bh, bw)
+    D = rs_t.shape[2]
+    lam = _lambda(qindex)
+    src = src.astype(jnp.int32)
+    base = 1 << (bd - 1)
+    cands = expand_candidates(modes, angle_deltas)
+    n_intra = len(cands)
+    BIG = jnp.float32(3e38)
+
+    ar = jnp.arange(bs)
+
+    def gather_rows(plane, y, x):
+        return plane[:, y[:, None], x[:, None] + ar[None, :]]
+
+    def gather_cols(plane, y, x):
+        return plane[:, y[:, None] + ar[None, :], x[:, None]]
+
+    def gather_blocks(plane, y, x):
+        return plane[:, y[:, None, None] + ar[None, :, None],
+                     x[:, None, None] + ar[None, None, :]]
+
+    def txq(pred, f_src):
+        resid = f_src - pred
+        coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, bd)
+        lev = quantize(coeff, tx_size, qindex, bd)
+        dq = dequantize(lev, tx_size, qindex, bd)
+        recb = add_residual_clip(pred, inv_txfm2d(dq, tx_size, DCT_DCT, bd),
+                                 bd)
+        sse = jnp.sum((f_src - recb) ** 2, axis=(-1, -2)).astype(jnp.float32)
+        nnz = jnp.sum(lev != 0, axis=(-1, -2)).astype(jnp.float32)
+        lbits = jnp.sum(jnp.log2(1.0 + jnp.abs(lev).astype(jnp.float32)),
+                        axis=(-1, -2))
+        return lev, recb, sse, 8.0 * nnz + 2.0 * lbits
+
+    def sub_step(recon, rs, cs, valid, has_tr, has_bl):
+        y = rs * bs
+        x = cs * bs
+        ha = (rs > 0)[None, :, None]
+        hl = (cs > 0)[None, :, None]
+
+        above_real = gather_rows(recon, jnp.maximum(y - 1, 0), x)
+        left_real = gather_cols(recon, y, jnp.maximum(x - 1, 0))
+        corner_real = recon[:, jnp.maximum(y - 1, 0), jnp.maximum(x - 1, 0)]
+        above = jnp.where(ha, above_real,
+                          jnp.where(hl, left_real[..., 0:1], base - 1))
+        left = jnp.where(hl, left_real,
+                         jnp.where(ha, above_real[..., 0:1], base + 1))
+        ha1, hl1 = ha[..., 0], hl[..., 0]
+        corner = jnp.where(ha1 & hl1, corner_real,
+                           jnp.where(ha1, above_real[..., 0],
+                                     jnp.where(hl1, left_real[..., 0],
+                                               base)))
+        tr_real = gather_rows(recon, jnp.maximum(y - 1, 0),
+                              jnp.minimum(x + bs, w - bs))
+        bl_real = gather_cols(recon, jnp.minimum(y + bs, h - bs),
+                              jnp.maximum(x - 1, 0))
+        htr = has_tr[None, :, None]
+        hbl = has_bl[None, :, None]
+        above_ext = jnp.concatenate(
+            [above, jnp.where(htr, tr_real, above[..., -1:])], axis=-1)
+        left_ext = jnp.concatenate(
+            [left, jnp.where(hbl, bl_real, left[..., -1:])], axis=-1)
+
+        blocks = gather_blocks(src, y, x)
+
+        fb = lambda t: t.reshape((B * D,) + t.shape[2:])
+        f_src, f_above, f_left, f_corner = map(
+            fb, (blocks, above, left, corner))
+        f_above_ext, f_left_ext = map(fb, (above_ext, left_ext))
+        f_ha = jnp.broadcast_to(ha1, (B, D)).reshape(-1)
+        f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
+        f_iok = intra_ok[:, rs, cs].reshape(-1)          # [B*D]
+
+        best_cost = best_mi = best_lev = best_rec = None
+        for mi, (mode, delta) in enumerate(cands):
+            if mode == intra.DC_PRED:
+                p = [intra.dc_pred(f_above, f_left, a, l, bd)
+                     for a, l in ((True, True), (True, False),
+                                  (False, True), (False, False))]
+                haa = f_ha[:, None, None]
+                hll = f_hl[:, None, None]
+                pred = jnp.where(haa & hll, p[0],
+                                 jnp.where(haa, p[1],
+                                           jnp.where(hll, p[2], p[3])))
+            elif mode in DIRECTIONAL and (delta != 0 or mode not in
+                                          (intra.V_PRED, intra.H_PRED)):
+                pred = dr_pred(mode, delta, f_above_ext, f_left_ext,
+                               f_corner, bs, bd)
+            else:
+                pred = intra.predict(mode, f_above, f_left, f_corner)
+            lev, recb, sse, resid_bits = txq(pred, f_src)
+            cost = sse + lam * (40.0 + resid_bits)
+            cost = jnp.where(f_iok, cost, BIG)
+            if best_cost is None:
+                best_cost = cost
+                best_mi = jnp.zeros_like(cost, jnp.int32)
+                best_lev, best_rec = lev, recb
+            else:
+                take = cost < best_cost
+                best_cost = jnp.where(take, cost, best_cost)
+                best_mi = jnp.where(take, mi, best_mi)
+                t3 = take[:, None, None]
+                best_lev = jnp.where(t3, lev, best_lev)
+                best_rec = jnp.where(t3, recb, best_rec)
+
+        for e in range(n_extra):
+            pred = fb(extra_preds[:, e][:, rs, cs])      # [B*D, bs, bs]
+            rate = extra_rate[:, e][:, rs, cs].reshape(-1)
+            ok = extra_ok[:, e][:, rs, cs].reshape(-1)
+            lev, recb, sse, resid_bits = txq(pred, f_src)
+            cost = jnp.where(ok, sse + lam * (rate + resid_bits), BIG)
+            take = cost < best_cost
+            best_cost = jnp.where(take, cost, best_cost)
+            best_mi = jnp.where(take, n_intra + e, best_mi)
+            t3 = take[:, None, None]
+            best_lev = jnp.where(t3, lev, best_lev)
+            best_rec = jnp.where(t3, recb, best_rec)
+
+        rec_d = best_rec.reshape(B, D, bs, bs)
+        y_eff = jnp.where(valid, y, h + bs)
+        rows = y_eff[:, None, None] + ar[None, :, None]
+        colx = x[:, None, None] + ar[None, None, :]
+        recon = recon.at[:, rows, colx].set(rec_d, mode="drop")
+        return recon, best_mi.reshape(B, D), best_lev.reshape(B, D, bs, bs)
+
+    def step(recon, xs):
+        rs, cs, valid, has_tr, has_bl = xs
+        mis, levs = [], []
+        for z in range(4):
+            recon, mi, lev = sub_step(recon, rs[z], cs[z], valid[z],
+                                      has_tr[z], has_bl[z])
+            mis.append(mi)
+            levs.append(lev)
+        return recon, (jnp.stack(mis, 1), jnp.stack(levs, 1))
+
+    recon0 = jnp.zeros((B, h, w), jnp.int32)
+    recon, (mi_d, lev_d) = jax.lax.scan(
+        step, recon0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
+                       jnp.asarray(valid_t), jnp.asarray(has_tr_t),
+                       jnp.asarray(has_bl_t)))
+
+    flat_idx = rs_t * bw + cs_t
+    mode_idx = jnp.zeros((B, bh * bw), jnp.int32)
+    levels = jnp.zeros((B, bh * bw, bs, bs), jnp.int32)
+    idx = jnp.asarray(np.where(valid_t, flat_idx, bh * bw))
+    mode_idx = mode_idx.at[:, idx].set(
+        jnp.moveaxis(mi_d, 1, 0), mode="drop")
+    levels = levels.at[:, idx].set(
+        jnp.moveaxis(lev_d, 1, 0), mode="drop")
+    return (mode_idx.reshape(B, bh, bw),
+            levels.reshape(B, bh, bw, bs, bs), recon)

@@ -1,0 +1,143 @@
+"""Batched inter prediction (motion compensation) — spec §7.11.3.
+
+Reference behavior: svtav1_dec svt_make_inter_predictor
+(/root/reference/Source/Lib/Decoder/Codec/EbDecInterPrediction.c:418-520):
+mv is scaled to 1/16-plane-pel (q4), clamped to the UMV border
+(dec_clamp_mv_to_umv_border_sb, :42-64), the integer part selects the
+reference window and the 4-bit phase selects the 8-tap kernel.  Out-of-frame
+reads replicate edge pixels (extend_mc_border) — realised here by gathering
+from an edge-padded reference plane.
+
+Unlike ops/convolve.py (static phase), these run with *per-block dynamic*
+mvs: kernels are gathered by traced phase, so one jitted computation covers
+every block of a frame batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convolve import FILTER_BITS, ROUND0, ROUND1, kernels
+
+MV_PRED_PAD = 48      # padded-plane margin covering the UMV clamp range
+
+
+def pad_plane(plane, pad: int = MV_PRED_PAD):
+    """Edge-replicate padding ([..., H, W] → [..., H+2p, W+2p]) — the
+    normative out-of-frame extension."""
+    cfg = [(0, 0)] * (plane.ndim - 2) + [(pad, pad), (pad, pad)]
+    return jnp.pad(plane, cfg, mode="edge")
+
+
+def _clamp_q4(q4, lo, hi):
+    return jnp.clip(q4, lo, hi)
+
+
+def _dyn_tap(x, kern, axis):
+    """8-tap filter along `axis` with per-item kernels kern [..., 8]
+    broadcast over the two trailing spatial dims of x."""
+    n = x.shape[axis] - 7
+    out = None
+    for k in range(8):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(k, k + n)
+        kk = kern[..., k, None, None]
+        term = kk * x[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+def interp_block_dyn(windows, kx, ky, bd: int = 8):
+    """Normative 2D subpel filter with dynamic kernels.
+    windows [..., bs+7, bs+7] int32; kx/ky [..., 8] → [..., bs, bs]."""
+    x = windows.astype(jnp.int32)
+    hsum = _dyn_tap(x, kx, axis=-1) + (1 << (bd + FILTER_BITS - 1))
+    im = (hsum + (1 << (ROUND0 - 1))) >> ROUND0
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    vsum = _dyn_tap(im, ky, axis=-2) + (1 << offset_bits)
+    res = ((vsum + (1 << (ROUND1 - 1))) >> ROUND1) - \
+        ((1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1)))
+    return jnp.clip(res, 0, (1 << bd) - 1)
+
+
+@partial(jax.jit, static_argnames=("bs", "ss", "bd", "filt"))
+def predict_inter_blocks(ref_padded, y0, x0, mv8, frame_h: int, frame_w: int,
+                         bs: int, ss: int = 0, bd: int = 8, filt: int = 0):
+    """Motion-compensated prediction for a batch of blocks.
+
+    ref_padded [B, H/2^ss + 2*PAD, ...] edge-padded plane;
+    y0/x0 [B, N] plane-coord block origins; mv8 [B, N, 2] luma 1/8-pel mvs;
+    frame_h/frame_w are LUMA dims.  Returns [B, N, bs, bs] predictions,
+    bit-exact with the normative path (incl. the UMV border clamp)."""
+    kern = jnp.asarray(kernels(filt))                  # [16, 8]
+    bs_l = bs << ss                                    # luma-scale block dims
+    # luma-unit block position (for the mb_to_edge computation)
+    ly0, lx0 = y0 << ss, x0 << ss
+    # q4: 1/16-plane-pel
+    q4r = mv8[..., 0] * (1 << (1 - ss))
+    q4c = mv8[..., 1] * (1 << (1 - ss))
+    spel = (4 + bs) << 4
+    mb_to_left = -(lx0 * 8) * (1 << (1 - ss))
+    mb_to_right = ((frame_w - bs_l - lx0) * 8) * (1 << (1 - ss))
+    mb_to_top = -(ly0 * 8) * (1 << (1 - ss))
+    mb_to_bottom = ((frame_h - bs_l - ly0) * 8) * (1 << (1 - ss))
+    q4c = _clamp_q4(q4c, mb_to_left - spel, mb_to_right + spel - 16)
+    q4r = _clamp_q4(q4r, mb_to_top - spel, mb_to_bottom + spel - 16)
+
+    iy = y0 + (q4r >> 4)                               # window start - 3 below
+    ix = x0 + (q4c >> 4)
+    ky = kern[q4r & 15]                                # [B, N, 8]
+    kx = kern[q4c & 15]
+
+    B = ref_padded.shape[0]
+    ar = jnp.arange(bs + 7)
+    rows = iy[..., None] + (MV_PRED_PAD - 3) + ar      # [B, N, bs+7]
+    cols = ix[..., None] + (MV_PRED_PAD - 3) + ar
+    rows = jnp.clip(rows, 0, ref_padded.shape[-2] - 1)
+    cols = jnp.clip(cols, 0, ref_padded.shape[-1] - 1)
+    bi = jnp.arange(B)[:, None, None, None]
+    win = ref_padded[bi, rows[:, :, :, None], cols[:, :, None, :]]
+    return interp_block_dyn(win, kx, ky, bd)
+
+
+def predict_inter_block_np(ref_padded: np.ndarray, y0: int, x0: int,
+                           mv8, frame_h: int, frame_w: int, bs: int,
+                           ss: int = 0, bd: int = 8, filt: int = 0,
+                           pad: int = MV_PRED_PAD) -> np.ndarray:
+    """Host (numpy) twin of predict_inter_blocks for one block — used by
+    the sequential research decoder.  Bit-exact with the jitted path."""
+    kern = kernels(filt)
+    bs_l = bs << ss
+    ly0, lx0 = y0 << ss, x0 << ss
+    q4r = int(mv8[0]) * (1 << (1 - ss))
+    q4c = int(mv8[1]) * (1 << (1 - ss))
+    spel = (4 + bs) << 4
+    mb_to_left = -(lx0 * 8) * (1 << (1 - ss))
+    mb_to_right = ((frame_w - bs_l - lx0) * 8) * (1 << (1 - ss))
+    mb_to_top = -(ly0 * 8) * (1 << (1 - ss))
+    mb_to_bottom = ((frame_h - bs_l - ly0) * 8) * (1 << (1 - ss))
+    q4c = min(max(q4c, mb_to_left - spel), mb_to_right + spel - 16)
+    q4r = min(max(q4r, mb_to_top - spel), mb_to_bottom + spel - 16)
+    iy = y0 + (q4r >> 4)
+    ix = x0 + (q4c >> 4)
+    ky = kern[q4r & 15].astype(np.int64)
+    kx = kern[q4c & 15].astype(np.int64)
+    win = ref_padded[iy + pad - 3:iy + pad + bs + 4,
+                     ix + pad - 3:ix + pad + bs + 4].astype(np.int64)
+    hsum = sum(int(kx[k]) * win[:, k:k + bs] for k in range(8)) + \
+        (1 << (bd + FILTER_BITS - 1))
+    im = (hsum + (1 << (ROUND0 - 1))) >> ROUND0
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    vsum = sum(int(ky[k]) * im[k:k + bs, :] for k in range(8)) + \
+        (1 << offset_bits)
+    res = ((vsum + (1 << (ROUND1 - 1))) >> ROUND1) - \
+        ((1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1)))
+    return np.clip(res, 0, (1 << bd) - 1).astype(np.int32)
+
+
+def pad_plane_np(plane: np.ndarray, pad: int = MV_PRED_PAD) -> np.ndarray:
+    return np.pad(plane, pad, mode="edge")

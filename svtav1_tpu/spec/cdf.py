@@ -90,12 +90,17 @@ class CdfContext:
         except KeyError:
             raise AttributeError(name)
 
-    def update(self, cdf: np.ndarray, val: int) -> None:
+    def update(self, cdf: np.ndarray, val: int, nsymbs: int = None) -> None:
         """AV1 CDF adaptation (libaom update_cdf); cdf is a 1D slice
-        [n icdf values + counter]."""
+        [n icdf values + counter].  Pass nsymbs explicitly when the coded
+        alphabet is smaller than the table (e.g. inter_ext_tx: 17-wide
+        storage, 2-symbol DCT_IDTX set) — the adaptation rate and the
+        counter slot follow the CODED alphabet, and the counter lives at
+        index nsymbs."""
         if not self.update_enabled:
             return
-        nsymbs = len(cdf) - 1
+        if nsymbs is None:
+            nsymbs = len(cdf) - 1
         count = int(cdf[nsymbs])
         rate = 3 + (count > 15) + (count > 31) + _NSYMBS2SPEED[nsymbs]
         tmp = 32768

@@ -1,0 +1,125 @@
+"""E2E conformance for the inter (low-delay P) path: encode I+P GOPs,
+decode with dav1d — recon must match bit-exactly (RefDecoder.cc bar), and
+our own decoder must reproduce the same frames.  Also checks the reason
+P frames exist: bitrate well below all-intra on moving content."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+TOOLS = Path(__file__).parent.parent / "tools"
+AV1DEC = TOOLS / "av1dec"
+
+
+def _ensure_av1dec():
+    if AV1DEC.exists():
+        return True
+    r = subprocess.run(
+        f"gcc -O2 -o {AV1DEC} {TOOLS}/av1dec.c -lavformat -lavcodec -lavutil",
+        shell=True, capture_output=True)
+    return r.returncode == 0
+
+
+pytestmark = pytest.mark.skipif(not _ensure_av1dec(),
+                                reason="no libavcodec available")
+
+
+def _moving_clip(w, h, n, seed=0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        y = np.clip(110 + 70 * np.sin((xx + 5 * t) / 19.0) +
+                    50 * np.cos((yy + 3 * t) / 13.0) +
+                    rng.randint(-3, 4, (h, w)), 0, 255).astype(np.uint8)
+        u = np.clip(120 + 40 * np.sin((xx[::2, ::2] + 2 * t) / 23.0),
+                    0, 255).astype(np.uint8)
+        v = np.clip(135 + 35 * np.cos((yy[::2, ::2] + t) / 27.0),
+                    0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def _encode(frames, w, h, q, path, keyint=64, lf=-1):
+    from svtav1_tpu.encoder.intra_encoder import EncoderConfig
+    from svtav1_tpu.encoder.video_encoder import VideoEncoder
+    from svtav1_tpu.utils.ivf import IvfWriter
+
+    enc = VideoEncoder(EncoderConfig(w, h, qindex=q, lf_level=lf),
+                       keyint=keyint)
+    recons = []
+    nbytes = 0
+    with open(path, "wb") as f:
+        ivf = IvfWriter(f, w, h)
+        for i, fr in enumerate(frames):
+            payload, rec = enc.encode_frame(*fr)
+            ivf.write_frame(payload, i)
+            recons.append(rec)
+            nbytes += len(payload)
+        ivf.finalize()
+    return recons, nbytes
+
+
+def _dav1d_frames(path, w, h, n):
+    yuv = str(path) + ".yuv"
+    r = subprocess.run([str(AV1DEC), str(path), yuv],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    data = np.fromfile(yuv, np.uint8)
+    fsz = w * h + 2 * (w // 2) * (h // 2)
+    assert len(data) == fsz * n
+    out = []
+    for i in range(n):
+        off = i * fsz
+        out.append((
+            data[off:off + w * h].reshape(h, w),
+            data[off + w * h:off + w * h + (w // 2) * (h // 2)].reshape(
+                h // 2, w // 2),
+            data[off + fsz - (w // 2) * (h // 2):off + fsz].reshape(
+                h // 2, w // 2)))
+    return out
+
+
+@pytest.mark.parametrize("q", [80, 160])
+def test_inter_conformance(tmp_path, q):
+    w, h, n = 128, 64, 4
+    frames = _moving_clip(w, h, n)
+    recons, _ = _encode(frames, w, h, q, tmp_path / "p.ivf")
+    decoded = _dav1d_frames(tmp_path / "p.ivf", w, h, n)
+    for i, (rec, dav) in enumerate(zip(recons, decoded)):
+        for name, mine, theirs in zip("yuv", rec, dav):
+            np.testing.assert_array_equal(
+                np.asarray(mine).astype(np.uint8), theirs,
+                err_msg=f"frame {i} plane {name}")
+
+
+def test_inter_own_decoder_roundtrip():
+    from svtav1_tpu.decoder.decoder import Decoder
+
+    w, h, n = 128, 64, 3
+    frames = _moving_clip(w, h, n, seed=3)
+    from svtav1_tpu.encoder.intra_encoder import EncoderConfig
+    from svtav1_tpu.encoder.video_encoder import VideoEncoder
+    enc = VideoEncoder(EncoderConfig(w, h, qindex=120), keyint=64)
+    dec = Decoder()
+    for i, fr in enumerate(frames):
+        payload, rec = enc.encode_frame(*fr)
+        out = dec.decode_frame_obus(payload)
+        assert out is not None
+        for name, mine, theirs in zip("yuv", rec, out):
+            np.testing.assert_array_equal(
+                np.asarray(mine).astype(np.uint8), theirs,
+                err_msg=f"frame {i} plane {name}")
+
+
+def test_inter_bitrate_gain(tmp_path):
+    """P frames must beat all-intra decisively on moving content."""
+    w, h, n = 192, 128, 5
+    frames = _moving_clip(w, h, n, seed=1)
+    _, inter_bytes = _encode(frames, w, h, 100, tmp_path / "i.ivf",
+                             keyint=64)
+    _, intra_bytes = _encode(frames, w, h, 100, tmp_path / "a.ivf",
+                             keyint=1)
+    assert inter_bytes < 0.6 * intra_bytes, (inter_bytes, intra_bytes)

@@ -1,0 +1,217 @@
+#!/usr/bin/env python3
+"""Anchor comparison harness: our encoder vs the reference SvtAv1EncApp.
+
+Quantifies the quality gap VERDICT.md demands: encodes the same clips with
+the reference encoder (built from /root/reference with COMPILE_C_ONLY into
+/tmp/svtbuild — the read-only tree is never written) and with our encoder,
+then reports bitrate/PSNR curves and BD-rate.
+
+Usage: python tools/anchor_compare.py [--clip path.y4m ...] [--frames N]
+Writes ANCHOR.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+BUILD = Path("/tmp/svtbuild")
+BIN = Path("/tmp/svtbin")
+ENC = BIN / "SvtAv1EncApp"
+
+
+def ensure_reference():
+    if ENC.exists():
+        return
+    BUILD.mkdir(exist_ok=True)
+    subprocess.run(
+        ["cmake", "/root/reference", "-DCMAKE_BUILD_TYPE=Release",
+         "-DCOMPILE_C_ONLY=ON", "-DBUILD_APPS=ON", "-G", "Ninja"],
+        cwd=BUILD, check=True, capture_output=True)
+    subprocess.run(["ninja"], cwd=BUILD, check=True, capture_output=True)
+    BIN.mkdir(exist_ok=True)
+    # CMake hardcodes Bin/Release inside the source tree; relocate and
+    # restore the read-only reference checkout
+    rel = Path("/root/reference/Bin/Release")
+    subprocess.run(f"cp -a {rel}/* {BIN}/ && rm -rf /root/reference/Bin",
+                   shell=True, check=True)
+
+
+def synth_clip(path: Path, w: int, h: int, n: int, seed: int,
+               motion: float = 3.0):
+    from svtav1_tpu.utils.y4m import Y4mInfo, Y4mWriter
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # layered moving texture + noise: enough structure for ME and intra
+    base = (110 + 60 * np.sin(xx / 23.0) * np.cos(yy / 17.0) +
+            30 * np.sin((xx + 2 * yy) / 41.0))
+    with open(path, "wb") as f:
+        wtr = Y4mWriter(f, Y4mInfo(w, h, 30, 1))
+        for t in range(n):
+            dx, dy = motion * t, 0.6 * motion * t
+            y = np.clip(base + 45 * np.sin((xx + dx) / 11.0 + (yy + dy)
+                                           / 29.0) +
+                        rng.randint(-3, 4, (h, w)), 0, 255).astype(np.uint8)
+            u = np.clip(118 + 40 * np.sin((xx[::2, ::2] + dx) / 31.0), 0,
+                        255).astype(np.uint8)
+            v = np.clip(132 + 36 * np.cos((yy[::2, ::2] + dy) / 37.0), 0,
+                        255).astype(np.uint8)
+            wtr.write_frame(y, u, v)
+
+
+def read_y4m(path: Path):
+    from svtav1_tpu.utils.y4m import Y4mReader
+    with open(path, "rb") as f:
+        r = Y4mReader(f)
+        return r.info, list(r.frames())
+
+
+def psnr_frames(src_frames, dec_frames, peak=255):
+    # weighted PSNR over Y (standard practice: report Y)
+    errs = []
+    for (sy, _, _), (dy, _, _) in zip(src_frames, dec_frames):
+        errs.append(np.mean((sy.astype(np.float64) - dy) ** 2))
+    mse = np.mean(errs)
+    return 99.0 if mse == 0 else 10 * math.log10(peak * peak / mse)
+
+
+def run_reference(clip: Path, crf: int, out: Path, preset: int = 8,
+                  frames: int = 0):
+    cmd = [str(ENC), "-i", str(clip), "-b", str(out), "--preset",
+           str(preset), "--crf", str(crf), "--keyint", "64", "--lp", "1"]
+    if frames:
+        cmd += ["-n", str(frames)]
+    subprocess.run(cmd, check=True, capture_output=True,
+                   env={"LD_LIBRARY_PATH": str(BIN)})
+    return out.stat().st_size
+
+
+def decode_dav1d(ivf: Path, w: int, h: int):
+    av1dec = ROOT / "tools" / "av1dec"
+    if not av1dec.exists():
+        subprocess.run(
+            f"gcc -O2 -o {av1dec} {ROOT}/tools/av1dec.c -lavformat "
+            f"-lavcodec -lavutil", shell=True, check=True)
+    yuv = Path(str(ivf) + ".yuv")
+    subprocess.run([str(av1dec), str(ivf), str(yuv)], check=True,
+                   capture_output=True)
+    data = np.fromfile(yuv, np.uint8)
+    fsz = w * h + 2 * (w // 2) * (h // 2)
+    n = len(data) // fsz
+    frames = []
+    for i in range(n):
+        off = i * fsz
+        frames.append((
+            data[off:off + w * h].reshape(h, w),
+            data[off + w * h:off + w * h + (w // 2) * (h // 2)].reshape(
+                h // 2, w // 2),
+            data[off + fsz - (w // 2) * (h // 2):off + fsz].reshape(
+                h // 2, w // 2)))
+    return frames
+
+
+def run_ours(clip: Path, q: int, out: Path, keyint: int = 64,
+             frames: int = 0):
+    from svtav1_tpu.app import main as enc_main
+    args = ["-i", str(clip), "-b", str(out), "-q", str(q),
+            "--keyint", str(keyint)]
+    if frames:
+        args += ["-n", str(frames)]
+    rc = enc_main(args)
+    assert rc == 0
+    return out.stat().st_size
+
+
+def bd_rate(rate_a, psnr_a, rate_b, psnr_b):
+    """BD-rate of B vs A (negative → B saves bits), piecewise-linear on
+    log-rate over the overlapping PSNR interval."""
+    la, lb = np.log10(rate_a), np.log10(rate_b)
+    lo = max(min(psnr_a), min(psnr_b))
+    hi = min(max(psnr_a), max(psnr_b))
+    if hi <= lo:
+        return float("nan")
+    xs = np.linspace(lo, hi, 100)
+    ia = np.interp(xs, sorted(psnr_a), [l for _, l in
+                                        sorted(zip(psnr_a, la))])
+    ib = np.interp(xs, sorted(psnr_b), [l for _, l in
+                                        sorted(zip(psnr_b, lb))])
+    return float((10 ** np.mean(ib - ia) - 1) * 100)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clip", action="append", default=[])
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--preset", type=int, default=8)
+    ap.add_argument("--out", default=str(ROOT / "ANCHOR.md"))
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtav1")
+
+    ensure_reference()
+    tmp = Path("/tmp/anchor")
+    tmp.mkdir(exist_ok=True)
+    clips = [Path(c) for c in args.clip]
+    if not clips:
+        for i, (w, h, m) in enumerate(((448, 256, 3.0), (320, 192, 6.0))):
+            p = tmp / f"synth{i}_{w}x{h}.y4m"
+            synth_clip(p, w, h, args.frames, seed=i, motion=m)
+            clips.append(p)
+
+    lines = ["# ANCHOR — quality vs the reference SvtAv1EncApp",
+             "",
+             f"Reference: preset {args.preset}, CRF, keyint 64, C-only "
+             "build.  Ours: fixed qindex, keyint 64 low-delay.  PSNR-Y "
+             "via dav1d decode of both streams vs the source.",
+             ""]
+    for clip in clips:
+        info, src = read_y4m(clip)
+        n = len(src)
+        fps = info.fps_num / info.fps_den
+        lines.append(f"## {clip.name} ({info.width}x{info.height}, "
+                     f"{n} frames)")
+        lines.append("")
+        lines.append("| encoder | param | kbps | PSNR-Y (dB) |")
+        lines.append("|---|---|---|---|")
+        ra, pa, rb, pb = [], [], [], []
+        for crf in (28, 35, 43, 51):
+            out = tmp / f"ref_{clip.stem}_{crf}.ivf"
+            sz = run_reference(clip, crf, out, args.preset, n)
+            dec = decode_dav1d(out, info.width, info.height)
+            ps = psnr_frames(src, dec)
+            kbps = sz * 8 * fps / n / 1000
+            ra.append(kbps)
+            pa.append(ps)
+            lines.append(f"| reference | crf {crf} | {kbps:.1f} | "
+                         f"{ps:.2f} |")
+        for q in (120, 150, 190, 230):
+            out = tmp / f"ours_{clip.stem}_{q}.ivf"
+            sz = run_ours(clip, q, out, frames=n)
+            dec = decode_dav1d(out, info.width, info.height)
+            ps = psnr_frames(src, dec)
+            kbps = sz * 8 * fps / n / 1000
+            rb.append(kbps)
+            pb.append(ps)
+            lines.append(f"| ours | q {q} | {kbps:.1f} | {ps:.2f} |")
+        bd = bd_rate(ra, pa, rb, pb)
+        lines.append("")
+        lines.append(f"**BD-rate (ours vs reference): {bd:+.1f}%** "
+                     "(negative = we need fewer bits at equal PSNR)")
+        lines.append("")
+        print(f"{clip.name}: BD-rate {bd:+.1f}%")
+    Path(args.out).write_text("\n".join(lines))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

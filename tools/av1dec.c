@@ -12,6 +12,8 @@
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <stdio.h>
+#include <stdlib.h>
+#include <libavutil/log.h>
 
 static int write_frame(AVFrame *fr, FILE *out) {
     int depth_bytes = fr->format == AV_PIX_FMT_YUV420P10LE ||
@@ -29,7 +31,7 @@ static int write_frame(AVFrame *fr, FILE *out) {
     return 0;
 }
 
-int main(int argc, char **argv) {
+int main_real(int argc, char **argv) {
     if (argc < 3) {
         fprintf(stderr, "usage: %s in.ivf out.yuv [decoder]\n", argv[0]);
         return 2;
@@ -79,4 +81,9 @@ int main(int argc, char **argv) {
     fclose(out);
     printf("%d\n", nframes);
     return err;
+}
+
+int main(int argc, char **argv) {
+    if (getenv("AV1DEC_DEBUG")) av_log_set_level(AV_LOG_DEBUG);
+    return main_real(argc, argv);
 }
