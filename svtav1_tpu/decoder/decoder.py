@@ -76,12 +76,15 @@ class FrameInfo:
     ref_frame_idx: tuple = (0,) * 7
     allow_high_precision_mv: bool = False
     interpolation_filter: int = 0
+    primary_ref_frame: int = 7
+    disable_frame_end_update_cdf: bool = True
 
 
 class Decoder:
     def __init__(self) -> None:
         self.seq: SeqInfo | None = None
         self.dpb = [None] * 8        # (y, u, v) reconstructed refs
+        self.dpb_cdf = [None] * 8    # frame-end CDF state per slot
 
     # ---------------- headers ---------------- #
 
@@ -160,7 +163,7 @@ class Decoder:
         if seq.enable_order_hint:
             r.f(seq.order_hint_bits)
         if is_inter:
-            _need(r.f(3) == 7, "primary_ref_frame (PRIMARY_REF_NONE only)")
+            fr.primary_ref_frame = r.f(3)
             fr.refresh_frame_flags = r.f(8)
             fr.ref_frame_idx = tuple(r.f(3) for _ in range(7))
         if seq.enable_superres:
@@ -173,7 +176,7 @@ class Decoder:
             fr.interpolation_filter = r.f(2)
             _need(r.bit() == 0, "motion mode switchable")
         if not fr.disable_cdf_update:
-            r.bit()                   # disable_frame_end_update_cdf
+            fr.disable_frame_end_update_cdf = bool(r.bit())
         # tile info (single-tile subset)
         _need(r.bit() == 1, "uniform tile spacing only")
         sb = 128 if seq.use_128x128_sb else 64
@@ -436,7 +439,12 @@ class Decoder:
         ru_p = pad_plane_np(ref[1])
         rv_p = pad_plane_np(ref[2])
         dec = RangeDecoder(data)
-        cdf = CdfContext(fr.base_q_idx, update=not fr.disable_cdf_update)
+        if fr.primary_ref_frame != 7:
+            prev = self.dpb_cdf[fr.ref_frame_idx[fr.primary_ref_frame]]
+            _need(prev is not None, "primary ref has no saved CDF state")
+            cdf = prev.clone()
+        else:
+            cdf = CdfContext(fr.base_q_idx, update=not fr.disable_cdf_update)
         mi_cols, mi_rows = w // 4, h // 4
         grid = MiGrid(mi_rows, mi_cols)
         y_rec = np.zeros((h, w), np.int32)
@@ -477,6 +485,7 @@ class Decoder:
                         above_av, left_cul, left_av)
                     above_part[mi_c:mi_c + 8] = 24
                     left_part[qr * 8:qr * 8 + 8] = 24
+        self._end_cdf = cdf
         return y_rec, u_rec, v_rec
 
     def _decode_block_inter(self, dec, cdf, grid, br, bc, seq, fr, y_rec,
@@ -633,6 +642,7 @@ class Decoder:
                 fr = self._parse_frame_header(r, self.seq)
                 r.byte_align()
                 tile_data = payload[r.bits_read // 8:]
+                self._end_cdf = None
                 if fr.frame_type == 1:
                     y, u, v = self._decode_tile_inter(tile_data, self.seq,
                                                       fr)
@@ -654,9 +664,15 @@ class Decoder:
                            else fr.refresh_frame_flags)
                 ref_entry = (y.astype(np.int32), u.astype(np.int32),
                              v.astype(np.int32))
+                end_cdf = None
+                if (not fr.disable_cdf_update and
+                        not fr.disable_frame_end_update_cdf and
+                        self._end_cdf is not None):
+                    end_cdf = self._end_cdf.snapshot()
                 for slot in range(8):
                     if refresh & (1 << slot):
                         self.dpb[slot] = ref_entry
+                        self.dpb_cdf[slot] = end_cdf
             elif obu_type in (OBU_FRAME_HEADER, OBU_TILE_GROUP):
                 raise NotImplementedError("separate frame header OBUs")
         return frame

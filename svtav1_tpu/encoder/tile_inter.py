@@ -55,14 +55,18 @@ def _dc_sign_ctx(a_cul, a_avail, l_cul, l_avail) -> int:
 
 
 def encode_inter_tile(width: int, height: int, qindex: int, cdf_update: bool,
-                      y_cand, y_lev, u_lev, v_lev, mv8, cands, n_intra: int):
+                      y_cand, y_lev, u_lev, v_lev, mv8, cands, n_intra: int,
+                      cdf_init=None):
     """y_cand [bh,bw] candidate indices (>= n_intra → inter: n_intra=NEWMV,
     n_intra+1=GLOBALMV); mv8 [bh,bw,2] per-block ME mvs; cands = intra
-    (mode, delta) list.  Returns the tile payload bytes."""
+    (mode, delta) list.  cdf_init: a CdfContext snapshot to start from
+    (primary-ref inheritance) — defaults load from the standard tables.
+    Returns (payload bytes, frame-end CdfContext snapshot)."""
     mi_cols, mi_rows = width // 4, height // 4
     sb_cols, sb_rows = width // SB, height // SB
     enc = RangeEncoder()
-    cdf = CdfContext(qindex, update=cdf_update)
+    cdf = (cdf_init.clone() if cdf_init is not None
+           else CdfContext(qindex, update=cdf_update))
     grid = MiGrid(mi_rows, mi_cols)
 
     above_part = np.zeros(mi_cols, np.uint8)
@@ -95,7 +99,7 @@ def encode_inter_tile(width: int, height: int, qindex: int, cdf_update: bool,
                               above_cul, left_cul, above_avail, left_avail)
                 above_part[bmi_c:bmi_c + 8] = part_above_v
                 left_part[qr * 8:qr * 8 + 8] = part_left_v
-    return enc.done()
+    return enc.done(), cdf
 
 
 def _encode_block(enc, cdf, grid, br, bc, y_cand, y_lev_a, u_lev_a, v_lev_a,

@@ -10,7 +10,7 @@ modes/levels/recon; the host entropy-codes the tile and maintains the DPB
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,11 +38,18 @@ class VideoEncoder:
     def __init__(self, cfg: EncoderConfig, keyint: int = 64):
         self.cfg = cfg
         self.keyint = max(1, keyint)
-        self.intra = IntraEncoder(cfg)
+        # key frames get a quality boost (the reference's CRF kf_qindex
+        # scaling, EbRateControlProcess.c:782) — the KF propagates through
+        # the whole GOP via the reference chain
+        kf_q = max(2, int(round(cfg.qindex * 0.7))) if keyint > 1 \
+            else cfg.qindex
+        self.kf_cfg = replace(cfg, qindex=kf_q)
+        self.intra = IntraEncoder(self.kf_cfg)
         self.seq = self.intra.seq
         self._idx = 0
         self._first = True
         self._dpb = None              # (y, u, v) post-filter recon
+        self._cdf_state = None        # frame-end CDFs (primary-ref chain)
 
     # -------------------------------------------------------------- #
 
@@ -61,11 +68,26 @@ class VideoEncoder:
         if self._idx % self.keyint == 0 or self._dpb is None:
             payloads, recons = self.intra.encode_frames([(y, u, v)])
             payload, rec = payloads[0], recons[0]
+            self._cdf_state = None    # key frames reset the CDF chain
         else:
             payload, rec = self._encode_p(y, u, v)
         self._dpb = tuple(np.asarray(p) for p in rec)
         self._idx += 1
         return payload, rec
+
+    def _p_lf_levels(self):
+        """Deblock levels from the P-frame qindex (the intra encoder's
+        heuristic but at the inter quantizer)."""
+        cfg = self.cfg
+        if cfg.lf_level == 0 or cfg.bit_depth != 8:
+            return (0, 0, 0, 0)
+        if cfg.lf_level > 0:
+            l = min(cfg.lf_level, 63)
+        else:
+            q = cfg.qindex
+            l = max(0, min(63, (q * q // 1100) + q // 12 - 2))
+        lc = max(0, l * 3 // 4)
+        return (l, l, lc, lc)
 
     # -------------------------------------------------------------- #
 
@@ -129,7 +151,7 @@ class VideoEncoder:
             cfg.qindex, pv.reshape(1, 1, bh, bw, CBLK, CBLK), c_rate, c_ok,
             ~is_inter, 1, (0,), bd)
 
-        lf = self.intra.lf_levels()
+        lf = self._p_lf_levels()
         if lf[0] or lf[1]:
             y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1])
             u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2])
@@ -141,12 +163,18 @@ class VideoEncoder:
         v_lev = np.asarray(v_lev)[0]
         mv_np = np.asarray(mv_final)[0]
 
-        tile = encode_inter_tile(w, h, cfg.qindex, cfg.cdf_update, y_mi,
-                                 y_lev, u_lev, v_lev, mv_np, cands, n_intra)
+        tile, end_cdf = encode_inter_tile(
+            w, h, cfg.qindex, cfg.cdf_update, y_mi, y_lev, u_lev, v_lev,
+            mv_np, cands, n_intra, cdf_init=self._cdf_state)
+        primary_ref = 0 if self._cdf_state is not None else 7
         fr = FrameConfig(frame_type=1, base_q_idx=cfg.qindex,
                          disable_cdf_update=not cfg.cdf_update,
+                         disable_frame_end_update_cdf=not cfg.cdf_update,
+                         primary_ref_frame=primary_ref,
                          filter_level=(lf[0], lf[1]),
                          filter_level_u=lf[2], filter_level_v=lf[3])
+        if cfg.cdf_update:
+            self._cdf_state = end_cdf.snapshot()
         payload = assemble_frame(self.seq, fr, tile, first=False)
         rec = (np.asarray(y_rec)[0], np.asarray(u_rec)[0],
                np.asarray(v_rec)[0])

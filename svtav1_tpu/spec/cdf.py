@@ -84,6 +84,60 @@ class CdfContext:
         for name, _ in comp_fields:
             self._t[name] = np.stack(self._t[name])    # [2 comps, ...]
 
+    def clone(self) -> "CdfContext":
+        """Deep snapshot (frame-end CDF state for primary-ref inheritance,
+        spec §7.20 frame end update)."""
+        c = object.__new__(CdfContext)
+        c.update_enabled = self.update_enabled
+        c._t = {k: v.copy() for k, v in self._t.items()}
+        return c
+
+    # counter index overrides where the coded alphabet is smaller than the
+    # table stride (svt_av1_reset_cdf_symbol_counters,
+    # EbCabacContextModel.c:2369; row-dependent for partition/ext-tx)
+    @staticmethod
+    def _counter_index(name, row_idx, stride):
+        if name == "partition_cdf":
+            if row_idx < 4:
+                return 4
+            if row_idx >= 16:
+                return 8
+            return 10
+        if name == "inter_ext_tx_cdf":
+            return {0: 16, 1: 16, 2: 12, 3: 2}[row_idx]
+        if name == "intra_ext_tx_cdf":
+            return {0: 16, 1: 7, 2: 5, 3: 16}[row_idx]
+        if name == "uv_mode_cdf":
+            return 13 if row_idx == 0 else 14
+        if name == "tx_size_cdf":
+            return 2 if row_idx == 0 else 3
+        return stride - 1
+
+    def reset_counters(self) -> None:
+        """Zero every CDF's adaptation counter — applied when a frame
+        context is SAVED for primary-ref inheritance (the spec's frame-end
+        update keeps probabilities but resets rates)."""
+        for name, arr in self._t.items():
+            stride = arr.shape[-1]
+            flatrows = arr.reshape(-1, stride)
+            if name in ("partition_cdf", "inter_ext_tx_cdf",
+                        "intra_ext_tx_cdf", "uv_mode_cdf", "tx_size_cdf"):
+                # first axis selects the alphabet variant
+                n_var = arr.shape[0]
+                per = flatrows.shape[0] // n_var
+                for v in range(n_var):
+                    idx = self._counter_index(name, v, stride)
+                    flatrows[v * per:(v + 1) * per, idx] = 0
+            else:
+                flatrows[:, stride - 1] = 0
+
+    def snapshot(self) -> "CdfContext":
+        """Frame-end state for primary-ref inheritance: probabilities kept,
+        counters reset."""
+        c = self.clone()
+        c.reset_counters()
+        return c
+
     def __getattr__(self, name):
         try:
             return self._t[name]

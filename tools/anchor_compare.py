@@ -85,13 +85,31 @@ def psnr_frames(src_frames, dec_frames, peak=255):
 
 def run_reference(clip: Path, crf: int, out: Path, preset: int = 8,
                   frames: int = 0):
+    """Returns (bytes, overall PSNR-Y).  PSNR comes from the encoder's own
+    stat report: the fork's bitstreams are NOT standard AV1 (it
+    unconditionally writes the grafted CCSO sequence bit + frame syntax,
+    EbEntropyCoding.c:2872,3612), so dav1d cannot decode them — only the
+    fork's own decoder can.  Our streams, by contrast, are dav1d-decodable
+    standard AV1."""
     cmd = [str(ENC), "-i", str(clip), "-b", str(out), "--preset",
-           str(preset), "--crf", str(crf), "--keyint", "64", "--lp", "1"]
+           str(preset), "--crf", str(crf), "--keyint", "64", "--lp", "1",
+           "--enable-stat-report", "1"]
     if frames:
         cmd += ["-n", str(frames)]
-    subprocess.run(cmd, check=True, capture_output=True,
-                   env={"LD_LIBRARY_PATH": str(BIN)})
-    return out.stat().st_size
+    r = subprocess.run(cmd, check=True, capture_output=True, text=True,
+                       env={"LD_LIBRARY_PATH": str(BIN)})
+    psnr = None
+    for line in (r.stdout + r.stderr).splitlines():
+        parts = line.split()
+        # data row: "avgQP  Y U V | Y U V | ssim..." with dB markers
+        if parts and "dB" in line and "|" in line:
+            vals = [p for p in parts if p not in ("dB", "|")]
+            try:
+                psnr = float(vals[4])   # overall (per-frame-MSE) Y-PSNR
+            except (ValueError, IndexError):
+                pass
+    assert psnr is not None, "no stat-report PSNR in encoder output"
+    return out.stat().st_size, psnr
 
 
 def decode_dav1d(ivf: Path, w: int, h: int):
@@ -171,8 +189,12 @@ def main():
     lines = ["# ANCHOR — quality vs the reference SvtAv1EncApp",
              "",
              f"Reference: preset {args.preset}, CRF, keyint 64, C-only "
-             "build.  Ours: fixed qindex, keyint 64 low-delay.  PSNR-Y "
-             "via dav1d decode of both streams vs the source.",
+             "build; PSNR from its own stat report because the fork's "
+             "streams are NOT standard AV1 (unconditional CCSO graft "
+             "syntax, EbEntropyCoding.c:2872) and dav1d rejects them.  "
+             "Ours: fixed qindex, keyint 64 low-delay; PSNR via dav1d "
+             "decode — our output is standard, independently-decodable "
+             "AV1.",
              ""]
     for clip in clips:
         info, src = read_y4m(clip)
@@ -186,9 +208,7 @@ def main():
         ra, pa, rb, pb = [], [], [], []
         for crf in (28, 35, 43, 51):
             out = tmp / f"ref_{clip.stem}_{crf}.ivf"
-            sz = run_reference(clip, crf, out, args.preset, n)
-            dec = decode_dav1d(out, info.width, info.height)
-            ps = psnr_frames(src, dec)
+            sz, ps = run_reference(clip, crf, out, args.preset, n)
             kbps = sz * 8 * fps / n / 1000
             ra.append(kbps)
             pa.append(ps)
