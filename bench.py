@@ -42,7 +42,10 @@ def bench_e2e_intra(width=1920, height=1088, batch=4, nframes=16):
     from svtav1_tpu.encoder.intra_encoder import EncoderConfig, IntraEncoder
 
     frames = synth_frames(width, height, nframes)
-    enc = IntraEncoder(EncoderConfig(width, height, qindex=100))
+    # flat-32 speed path: the native C tile coder does not handle the
+    # partition tree yet, so the throughput metric measures part_search=off
+    enc = IntraEncoder(EncoderConfig(width, height, qindex=100,
+                                     part_search=False))
 
     def run():
         total = 0

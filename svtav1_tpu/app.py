@@ -26,6 +26,11 @@ def main(argv=None) -> int:
     p.add_argument("-b", "--output", required=True, help="output .ivf")
     p.add_argument("-q", "--qp", type=int, default=100,
                    help="base qindex 0-255")
+    p.add_argument("--crf", type=int, default=None,
+                   help="CRF 0-63 (maps to qindex = 4*crf, overrides -q; "
+                        "key frames get the GOP quality boost)")
+    p.add_argument("--no-part-search", action="store_true",
+                   help="disable the 32->16 partition RD search")
     p.add_argument("-n", "--frames", type=int, default=0,
                    help="max frames (0 = all)")
     p.add_argument("--keyint", type=int, default=64,
@@ -35,6 +40,12 @@ def main(argv=None) -> int:
                    help="frames per device batch (amortizes dispatch)")
     p.add_argument("--stat-report", action="store_true")
     args = p.parse_args(argv)
+    if args.crf is not None:
+        if not 0 <= args.crf <= 63:
+            print(f"error: --crf must be 0..63 (got {args.crf})",
+                  file=sys.stderr)
+            return 2
+        args.qp = min(255, args.crf * 4)
     if not 0 <= args.qp <= 255:
         print(f"error: -q/--qp must be 0..255 (got {args.qp})",
               file=sys.stderr)
@@ -61,7 +72,8 @@ def main(argv=None) -> int:
             return 1
         cfg = EncoderConfig(info.width, info.height, qindex=args.qp,
                             bit_depth=info.bit_depth,
-                            cdf_update=not args.no_cdf_update)
+                            cdf_update=not args.no_cdf_update,
+                            part_search=not args.no_part_search)
         if args.keyint == 1:
             enc = IntraEncoder(cfg)      # batched all-intra path
         else:

@@ -22,7 +22,7 @@ from ..ec.range_coder import RangeDecoder
 from ..ops.mc import MV_PRED_PAD, pad_plane_np, predict_inter_block_np
 from ..spec import mv as MV
 from ..ops import intra
-from ..ops.deblock import deblock_plane_uniform
+from ..ops.deblock import deblock_plane_part, deblock_plane_uniform
 from ..ops.intra_dir import dr_pred
 from ..ops.quant import dequantize
 from ..ops.transforms import add_residual_clip, inv_txfm2d
@@ -78,6 +78,33 @@ class FrameInfo:
     interpolation_filter: int = 0
     primary_ref_frame: int = 7
     disable_frame_end_update_cdf: bool = True
+    tile_cols_log2: int = 0
+    context_update_tile_id: int = 0
+
+
+class _TileState:
+    """Per-tile neighbor context state (grids + coefficient contexts)."""
+
+    def __init__(self, mi_rows, mi_cols, w, h):
+        from ..ec.mvpred import MiGrid
+        self.mi_cols_t = mi_cols
+        self.grid = MiGrid(mi_rows, mi_cols)
+        self.above_part = np.zeros(mi_cols, np.uint8)
+        self.skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        self.mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        self.above_cul = {0: np.zeros(w // 4, np.uint8),
+                          1: np.zeros(w // 8, np.uint8),
+                          2: np.zeros(w // 8, np.uint8)}
+        self.above_av = {p: np.zeros_like(self.above_cul[p], bool)
+                         for p in range(3)}
+
+    def reset_sb_row(self):
+        self.left_part = np.zeros(16, np.uint8)
+        self.left_cul = {0: np.zeros(16, np.uint8),
+                         1: np.zeros(8, np.uint8),
+                         2: np.zeros(8, np.uint8)}
+        self.left_av = {p: np.zeros_like(self.left_cul[p], bool)
+                        for p in range(3)}
 
 
 class Decoder:
@@ -199,9 +226,12 @@ class Decoder:
         while tile_rows_log2 < max_log2_rows and r.bit():
             tile_rows_log2 += 1
         if tile_cols_log2 or tile_rows_log2:
-            r.f(tile_cols_log2 + tile_rows_log2)
-            r.f(2)
-        _need(tile_cols_log2 == 0 and tile_rows_log2 == 0, "single tile")
+            fr.context_update_tile_id = r.f(tile_cols_log2 + tile_rows_log2)
+            _need(r.f(2) == 3, "tile_size_bytes == 4 expected")
+        _need(tile_rows_log2 == 0, "tile rows")
+        fr.tile_cols_log2 = tile_cols_log2
+        _need(sb_cols % (1 << tile_cols_log2) == 0,
+              "non-uniform tile columns")
         # quantization
         fr.base_q_idx = r.f(8)
         _need(r.bit() == 0, "delta_q_y_dc")
@@ -234,115 +264,223 @@ class Decoder:
 
     # ---------------- tile ---------------- #
 
-    def _decode_tile(self, data: bytes, seq: SeqInfo, fr: FrameInfo):
-        w, h = seq.width, seq.height
-        dec = RangeDecoder(data)
-        cdf = CdfContext(fr.base_q_idx, update=not fr.disable_cdf_update)
-        mi_cols, mi_rows = w // 4, h // 4
-        bw = w // 32
-        y_rec = np.zeros((h, w), np.int32)
-        u_rec = np.zeros((h // 2, w // 2), np.int32)
-        v_rec = np.zeros((h // 2, w // 2), np.int32)
-
-        above_part = np.zeros(mi_cols, np.uint8)
-        skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
-        mode_grid = np.zeros((mi_rows, mi_cols), np.uint8)
-        above_cul = {0: np.zeros(w // 4, np.uint8),
-                     1: np.zeros(w // 8, np.uint8),
-                     2: np.zeros(w // 8, np.uint8)}
-        above_av = {p: np.zeros_like(above_cul[p], bool) for p in range(3)}
-
-        for sb_r in range(h // 64):
-            left_part = np.zeros(16, np.uint8)
-            left_cul = {0: np.zeros(16, np.uint8),
-                        1: np.zeros(8, np.uint8), 2: np.zeros(8, np.uint8)}
-            left_av = {p: np.zeros_like(left_cul[p], bool) for p in range(3)}
-            for sb_c in range(w // 64):
-                mi_c0 = sb_c * 16
-                ctx = self._part_ctx(above_part[mi_c0], left_part[0], 3)
-                t = cdf.partition_cdf[ctx]
-                p64 = dec.decode_symbol(t, 10)
-                cdf.update(t, p64)
-                _need(p64 == PARTITION_SPLIT, "fixed 32x32 subset")
-                for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                    br, bc = sb_r * 2 + qr, sb_c * 2 + qc
-                    mi_r, mi_c = br * 8, bc * 8
-                    ctx = self._part_ctx(above_part[mi_c], left_part[qr * 8],
-                                         2)
-                    t = cdf.partition_cdf[ctx]
-                    p32 = dec.decode_symbol(t, 10)
-                    cdf.update(t, p32)
-                    _need(p32 == PARTITION_NONE, "fixed 32x32 subset")
-                    self._decode_block(
-                        dec, cdf, br, bc, bw, seq, fr, y_rec, u_rec, v_rec,
-                        skip_grid, mode_grid, above_cul, above_av, left_cul,
-                        left_av, mi_cols)
-                    above_part[mi_c:mi_c + 8] = 24
-                    left_part[qr * 8:qr * 8 + 8] = 24
-        return y_rec, u_rec, v_rec
-
     @staticmethod
     def _part_ctx(above: int, left: int, bsl: int) -> int:
         return ((int(left) >> bsl) & 1) * 2 + ((int(above) >> bsl) & 1) + \
             bsl * 4
 
-    def _decode_block(self, dec, cdf, br, bc, bw, seq, fr, y_rec, u_rec,
-                      v_rec, skip_grid, mode_grid, above_cul, above_av,
-                      left_cul, left_av, mi_cols):
-        mi_r, mi_c = br * 8, bc * 8
+    def _decode_tile(self, data: bytes, seq: SeqInfo, fr: FrameInfo):
+        """Unified tile decode: key + inter frames, uniform tile columns,
+        64→32 forced split, 32 NONE/SPLIT(16) partitions (chroma 16/8)."""
+        w, h = seq.width, seq.height
+        is_inter_frame = fr.frame_type == 1
+        if is_inter_frame:
+            ref = self.dpb[fr.ref_frame_idx[0]]
+            _need(ref is not None, "missing reference frame")
+            self._refp = tuple(pad_plane_np(p) for p in ref)
+        self._part_map = np.zeros((h // 32, w // 32), np.int32)
+        self._y = np.zeros((h, w), np.int32)
+        self._u = np.zeros((h // 2, w // 2), np.int32)
+        self._v = np.zeros((h // 2, w // 2), np.int32)
+
+        n_tiles = 1 << fr.tile_cols_log2
+        if n_tiles == 1:
+            chunks = [data]
+        else:
+            chunks = []
+            off = 0
+            for _ in range(n_tiles - 1):
+                _need(off + 4 <= len(data), "truncated tile sizes")
+                sz = int.from_bytes(data[off:off + 4], "little") + 1
+                chunks.append(data[off + 4:off + 4 + sz])
+                off += 4 + sz
+            chunks.append(data[off:])
+        tw = w // n_tiles
+        for t, chunk in enumerate(chunks):
+            end_cdf = self._decode_one_tile(chunk, seq, fr, is_inter_frame,
+                                            t * tw, tw)
+            if t == fr.context_update_tile_id:
+                self._end_cdf = end_cdf
+        return self._y, self._u, self._v
+
+    def _decode_one_tile(self, data: bytes, seq: SeqInfo, fr: FrameInfo,
+                         is_inter_frame: bool, x_off: int, tw: int):
+        from ..ec.modes import PARTITION_NONE, PARTITION_SPLIT
+
+        w, h = seq.width, seq.height
+        dec = RangeDecoder(data)
+        if fr.primary_ref_frame != 7 and is_inter_frame:
+            prev = self.dpb_cdf[fr.ref_frame_idx[fr.primary_ref_frame]]
+            _need(prev is not None, "primary ref has no saved CDF state")
+            cdf = prev.clone()
+        else:
+            cdf = CdfContext(fr.base_q_idx,
+                             update=not fr.disable_cdf_update)
+        st = _TileState(h // 4, tw // 4, tw, h)
+        st.x_off = x_off
+        st.y_rec, st.u_rec, st.v_rec = self._y, self._u, self._v
+
+        for sb_r in range(h // 64):
+            st.reset_sb_row()
+            for sb_c in range(tw // 64):
+                mi_c0 = sb_c * 16
+                ctx = self._part_ctx(st.above_part[mi_c0], st.left_part[0],
+                                     3)
+                t = cdf.partition_cdf[ctx]
+                p64 = dec.decode_symbol(t, 10)
+                cdf.update(t, p64)
+                _need(p64 == PARTITION_SPLIT, "64x64 blocks unsupported")
+                for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    br, bc = sb_r * 2 + qr, sb_c * 2 + qc
+                    mi_r, mi_c = br * 8, bc * 8
+                    ctx = self._part_ctx(st.above_part[mi_c],
+                                         st.left_part[qr * 8], 2)
+                    t = cdf.partition_cdf[ctx]
+                    p32 = dec.decode_symbol(t, 10)
+                    cdf.update(t, p32)
+                    if p32 == PARTITION_NONE:
+                        self._decode_block(dec, cdf, st, mi_r, mi_c, 32,
+                                           br, bc, seq, fr, is_inter_frame)
+                        st.above_part[mi_c:mi_c + 8] = 24
+                        st.left_part[qr * 8:qr * 8 + 8] = 24
+                    elif p32 == PARTITION_SPLIT:
+                        self._part_map[br, bc + x_off // 32] = 1
+                        for sr, sc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                            smr = mi_r + sr * 4
+                            smc = mi_c + sc * 4
+                            lctx = self._part_ctx(
+                                st.above_part[smc],
+                                st.left_part[qr * 8 + sr * 4], 1)
+                            t = cdf.partition_cdf[lctx]
+                            p16 = dec.decode_symbol(t, 10)
+                            cdf.update(t, p16)
+                            _need(p16 == PARTITION_NONE,
+                                  "8x8 partitions unsupported")
+                            self._decode_block(dec, cdf, st, smr, smc, 16,
+                                               br, bc, seq, fr,
+                                               is_inter_frame)
+                            st.above_part[smc:smc + 4] = 28
+                            lo = qr * 8 + sr * 4
+                            st.left_part[lo:lo + 4] = 28
+                    else:
+                        raise DecodeError("unsupported partition type")
+        return cdf
+
+    def _decode_block(self, dec, cdf, st, mi_r, mi_c, bs, br, bc, seq, fr,
+                      is_inter_frame):
+        from ..spec.txfm import TX_8X8, TX_16X16, TX_32X32
+
+        grid = st.grid
+        bw4 = bs // 4
         have_above, have_left = mi_r > 0, mi_c > 0
-        a_skip = int(skip_grid[mi_r - 1, mi_c]) if have_above else 0
-        l_skip = int(skip_grid[mi_r, mi_c - 1]) if have_left else 0
+        a_skip = int(st.skip_grid[mi_r - 1, mi_c]) if have_above else 0
+        l_skip = int(st.skip_grid[mi_r, mi_c - 1]) if have_left else 0
         t = cdf.skip_cdfs[a_skip + l_skip]
         skip = dec.decode_symbol(t)
         cdf.update(t, skip)
 
-        a_mode = int(mode_grid[mi_r - 1, mi_c]) if have_above else 0
-        l_mode = int(mode_grid[mi_r, mi_c - 1]) if have_left else 0
-        t = cdf.kf_y_cdf[INTRA_MODE_CONTEXT[a_mode]][
-            INTRA_MODE_CONTEXT[l_mode]]
-        y_mode = dec.decode_symbol(t)
-        cdf.update(t, y_mode)
+        y_mode = 0
         angle_delta = 0
-        if 1 <= y_mode <= 8:
-            t = cdf.angle_delta_cdf[y_mode - 1]
-            angle_delta = dec.decode_symbol(t) - 3
-            cdf.update(t, angle_delta + 3)
-        t = cdf.uv_mode_cdf[1][y_mode]
-        uv_mode = dec.decode_symbol(t, 14)
-        cdf.update(t, uv_mode)
-        _need(uv_mode == 0, "UV DC subset")
+        mv = (0, 0)
+        is_inter = False
+        if is_inter_frame:
+            above_inter = grid.is_inter(mi_r - 1, mi_c) if have_above \
+                else None
+            left_inter = grid.is_inter(mi_r, mi_c - 1) if have_left else None
+            is_inter = IM.read_is_inter(
+                dec, cdf, IM.intra_inter_ctx(above_inter, left_inter))
+        if is_inter:
+            a_ref = int(grid.ref0[mi_r - 1, mi_c]) if have_above else None
+            l_ref = int(grid.ref0[mi_r, mi_c - 1]) if have_left else None
+            counts = IM.neighbor_ref_counts(
+                a_ref if (a_ref or 0) >= 1 else None,
+                l_ref if (l_ref or 0) >= 1 else None)
+            IM.read_ref_frame_single(dec, cdf, counts)
+            res = find_mv_stack(grid, mi_r, mi_c, bw4, bw4,
+                                mi_col_off=getattr(st, "x_off", 0) // 4,
+                                frame_mi_cols=seq.width // 4)
+            mode = IM.read_inter_mode(dec, cdf, res.mode_context)
+            ref_mv_idx = 0
+            if mode in (MV.NEWMV, MV.NEARMV):
+                ref_mv_idx = IM.read_drl_idx(dec, cdf, mode, res.stack,
+                                             res.num_found)
+            if mode == MV.NEARESTMV:
+                mv = res.nearest_mv
+            elif mode == MV.NEARMV:
+                mv = (res.stack[1 + ref_mv_idx][:2] if ref_mv_idx > 0
+                      else res.near_mv)
+            elif mode == MV.GLOBALMV:
+                mv = (0, 0)
+            else:
+                ref_mv = (res.stack[ref_mv_idx][:2] if res.num_found > 1
+                          else res.nearest_mv)
+                mv = IM.read_mv(dec, cdf, ref_mv)
+            grid.set_block(mi_r, mi_c, bw4, bw4, MV.LAST_FRAME, mode,
+                           mv[0], mv[1])
+        else:
+            if is_inter_frame:
+                sg = 3 if bs == 32 else 2
+                y_mode = dec.decode_symbol(cdf.y_mode_cdf[sg], 13)
+                cdf.update(cdf.y_mode_cdf[sg], y_mode)
+            else:
+                a_mode = int(st.mode_grid[mi_r - 1, mi_c]) if have_above \
+                    else 0
+                l_mode = int(st.mode_grid[mi_r, mi_c - 1]) if have_left \
+                    else 0
+                t = cdf.kf_y_cdf[INTRA_MODE_CONTEXT[a_mode]][
+                    INTRA_MODE_CONTEXT[l_mode]]
+                y_mode = dec.decode_symbol(t)
+                cdf.update(t, y_mode)
+            if 1 <= y_mode <= 8:
+                t = cdf.angle_delta_cdf[y_mode - 1]
+                angle_delta = dec.decode_symbol(t) - 3
+                cdf.update(t, angle_delta + 3)
+            t = cdf.uv_mode_cdf[1][y_mode]
+            uv_mode = dec.decode_symbol(t, 14)
+            cdf.update(t, uv_mode)
+            _need(uv_mode == 0, "UV DC subset")
+            grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, y_mode)
+            st.mode_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = y_mode
 
-        planes = ((0, y_rec, 32, TX_32X32, y_mode, angle_delta),
-                  (1, u_rec, 16, TX_16X16, uv_mode, 0),
-                  (2, v_rec, 16, TX_16X16, uv_mode, 0))
-        for plane, rec, bs, txs, mode, adelta in planes:
+        tx_y = TX_32X32 if bs == 32 else TX_16X16
+        tx_uv = TX_16X16 if bs == 32 else TX_8X8
+        planes = ((0, st.y_rec, bs, tx_y),
+                  (1, st.u_rec, bs // 2, tx_uv),
+                  (2, st.v_rec, bs // 2, tx_uv))
+        sb_mi_r = mi_r % 16
+        x_off = getattr(st, "x_off", 0)
+        for plane, rec, pbs, txs in planes:
             shift = 0 if plane == 0 else 1
-            y0, x0 = br * (32 >> shift), bc * (32 >> shift)
-            units = (32 >> shift) // 4
-            au0 = (bc * 32 >> shift) // 4
-            lu0 = ((br * 32 >> shift) // 4) % (16 >> shift)
+            y0 = (mi_r * 4) >> shift
+            x0 = ((mi_c * 4) + x_off) >> shift
+            units = (bs >> shift) // 4
+            au0 = ((mi_c * 4) >> shift) // 4
+            lu0 = ((sb_mi_r * 4) >> shift) // 4
             if not skip:
                 if plane == 0:
                     tctx = 0
                 else:
-                    a_nz = (above_cul[plane][au0:au0 + units] &
-                            0x3F)[above_av[plane][au0:au0 + units]]
-                    l_nz = (left_cul[plane][lu0:lu0 + units] &
-                            0x3F)[left_av[plane][lu0:lu0 + units]]
-                    tctx = 7 + int((a_nz != 0).any()) + int((l_nz != 0).any())
+                    a_nz = (st.above_cul[plane][au0:au0 + units] &
+                            0x3F)[st.above_av[plane][au0:au0 + units]]
+                    l_nz = (st.left_cul[plane][lu0:lu0 + units] &
+                            0x3F)[st.left_av[plane][lu0:lu0 + units]]
+                    tctx = 7 + int((a_nz != 0).any()) + \
+                        int((l_nz != 0).any())
                 signs = 0
-                for culs, avs in ((above_cul[plane][au0:au0 + units],
-                                   above_av[plane][au0:au0 + units]),
-                                  (left_cul[plane][lu0:lu0 + units],
-                                   left_av[plane][lu0:lu0 + units])):
+                for culs, avs in ((st.above_cul[plane][au0:au0 + units],
+                                   st.above_av[plane][au0:au0 + units]),
+                                  (st.left_cul[plane][lu0:lu0 + units],
+                                   st.left_av[plane][lu0:lu0 + units])):
                     for cl, av in zip(culs, avs):
                         if av:
-                            s = int(cl) >> 6
-                            signs += 1 if s == 2 else (-1 if s == 1 else 0)
+                            sg = int(cl) >> 6
+                            signs += 1 if sg == 2 else (-1 if sg == 1
+                                                        else 0)
                 dctx = 2 if signs > 0 else (1 if signs < 0 else 0)
-                lev = read_coeffs_txb(dec, cdf, bs, bs, txs, DCT_DCT,
-                                      min(plane, 1), tctx, dctx)
+                lev, tx_type = read_coeffs_txb(
+                    dec, cdf, pbs, pbs, txs, DCT_DCT,
+                    min(plane, 1), tctx, dctx,
+                    is_inter=is_inter, intra_mode=y_mode)
                 cul = min(63, int(np.abs(lev).sum()))
                 dcv = int(lev[0, 0])
                 if dcv < 0:
@@ -350,31 +488,42 @@ class Decoder:
                 elif dcv > 0:
                     cul += 2 << 6
             else:
-                lev = np.zeros((bs, bs), np.int32)
+                lev = np.zeros((pbs, pbs), np.int32)
                 cul = 0
-            above_cul[plane][au0:au0 + units] = cul
-            above_av[plane][au0:au0 + units] = True
-            left_cul[plane][lu0:lu0 + units] = cul
-            left_av[plane][lu0:lu0 + units] = True
+            st.above_cul[plane][au0:au0 + units] = cul
+            st.above_av[plane][au0:au0 + units] = True
+            st.left_cul[plane][lu0:lu0 + units] = cul
+            st.left_av[plane][lu0:lu0 + units] = True
 
-            pred = self._predict(rec, y0, x0, bs, mode, adelta, br, bc, bw,
-                                 seq)
+            if is_inter:
+                pred = predict_inter_block_np(
+                    self._refp[plane], y0, x0, mv, seq.height, seq.width,
+                    pbs, shift, seq.bit_depth)
+            else:
+                pred = self._predict(rec, y0, x0, pbs,
+                                     y_mode if plane == 0 else 0,
+                                     angle_delta if plane == 0 else 0,
+                                     br, bc, seq, bs,
+                                     ha=have_above, hl=have_left,
+                                     tile_bw=st.mi_cols_t * 4 // 32)
             if lev.any():
-                dq = dequantize(lev[None], txs, fr.base_q_idx, seq.bit_depth)
-                res = inv_txfm2d(dq, txs, DCT_DCT, seq.bit_depth)
-                blk = np.asarray(add_residual_clip(pred[None], res,
+                dq = dequantize(lev[None], txs, fr.base_q_idx,
+                                seq.bit_depth)
+                resid = inv_txfm2d(dq, txs, tx_type, seq.bit_depth)
+                blk = np.asarray(add_residual_clip(pred[None], resid,
                                                    seq.bit_depth))[0]
             else:
                 blk = pred
-            rec[y0:y0 + bs, x0:x0 + bs] = blk
+            rec[y0:y0 + pbs, x0:x0 + pbs] = blk
 
-        skip_grid[mi_r:mi_r + 8, mi_c:mi_c + 8] = skip
-        mode_grid[mi_r:mi_r + 8, mi_c:mi_c + 8] = y_mode
+        st.skip_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = skip
 
-    def _predict(self, rec, y0, x0, bs, mode, adelta, br, bc, bw, seq):
+    def _predict(self, rec, y0, x0, bs, mode, adelta, br, bc, seq,
+                 luma_bs=32, ha=None, hl=None, tile_bw=None):
         h, w = rec.shape
         base = 1 << (seq.bit_depth - 1)
-        ha, hl = y0 > 0, x0 > 0
+        if ha is None:
+            ha, hl = y0 > 0, x0 > 0
         if ha:
             above = rec[y0 - 1, x0:x0 + bs].astype(np.int32)
         elif hl:
@@ -400,15 +549,21 @@ class Decoder:
             return np.asarray(intra.dc_pred(above[None], left[None], ha, hl,
                                             seq.bit_depth))[0]
         if 1 <= mode <= 8 and mode not in (intra.V_PRED, intra.H_PRED):
-            r_b, c_b = br, bc
-            qr, qc = r_b % 2, c_b % 2
-            bh_blocks = h // bs
-            bw_blocks = w // bs
-            if qr == 0:
-                has_tr = r_b > 0 and c_b + 1 < bw_blocks
+            # extended-edge availability: z-order rule for full 32x32
+            # blocks; 16x16 leaves only carry Z2-safe modes, for which the
+            # extension is never read (replication is then normative)
+            if luma_bs == 32 and bs >= 16:
+                qr, qc = br % 2, bc % 2
+                bh_blocks = h // bs
+                bw_blocks = tile_bw if tile_bw is not None else w // bs
+                if qr == 0:
+                    has_tr = br > 0 and bc + 1 < bw_blocks
+                else:
+                    has_tr = qc == 0 and bc + 1 < bw_blocks
+                has_bl = (qr == 0 and qc == 0 and bc > 0 and
+                          br + 1 < bh_blocks)
             else:
-                has_tr = qc == 0 and c_b + 1 < bw_blocks
-            has_bl = qr == 0 and qc == 0 and c_b > 0 and r_b + 1 < bh_blocks
+                has_tr = has_bl = False
             if has_tr and ha:
                 tr = rec[y0 - 1, x0 + bs:x0 + 2 * bs].astype(np.int32)
             else:
@@ -425,197 +580,6 @@ class Decoder:
                                       seq.bit_depth))[0]
         return np.asarray(intra.predict(
             mode, above[None], left[None], np.array([corner], np.int32)))[0]
-
-    # ---------------- inter tile ---------------- #
-
-    def _decode_tile_inter(self, data: bytes, seq: SeqInfo, fr: FrameInfo):
-        """Inter (P) frame tile: mirror of encoder/tile_inter.py.
-        Reference: EbDecParseBlock.c inter_frame_mode_info +
-        EbDecParseInterBlock.c."""
-        w, h = seq.width, seq.height
-        ref = self.dpb[fr.ref_frame_idx[0]]
-        _need(ref is not None, "missing reference frame")
-        ry_p = pad_plane_np(ref[0])
-        ru_p = pad_plane_np(ref[1])
-        rv_p = pad_plane_np(ref[2])
-        dec = RangeDecoder(data)
-        if fr.primary_ref_frame != 7:
-            prev = self.dpb_cdf[fr.ref_frame_idx[fr.primary_ref_frame]]
-            _need(prev is not None, "primary ref has no saved CDF state")
-            cdf = prev.clone()
-        else:
-            cdf = CdfContext(fr.base_q_idx, update=not fr.disable_cdf_update)
-        mi_cols, mi_rows = w // 4, h // 4
-        grid = MiGrid(mi_rows, mi_cols)
-        y_rec = np.zeros((h, w), np.int32)
-        u_rec = np.zeros((h // 2, w // 2), np.int32)
-        v_rec = np.zeros((h // 2, w // 2), np.int32)
-
-        above_part = np.zeros(mi_cols, np.uint8)
-        skip_grid = np.zeros((mi_rows, mi_cols), np.uint8)
-        above_cul = {0: np.zeros(w // 4, np.uint8),
-                     1: np.zeros(w // 8, np.uint8),
-                     2: np.zeros(w // 8, np.uint8)}
-        above_av = {p: np.zeros_like(above_cul[p], bool) for p in range(3)}
-
-        for sb_r in range(h // 64):
-            left_part = np.zeros(16, np.uint8)
-            left_cul = {0: np.zeros(16, np.uint8),
-                        1: np.zeros(8, np.uint8), 2: np.zeros(8, np.uint8)}
-            left_av = {p: np.zeros_like(left_cul[p], bool) for p in range(3)}
-            for sb_c in range(w // 64):
-                mi_c0 = sb_c * 16
-                ctx = self._part_ctx(above_part[mi_c0], left_part[0], 3)
-                t = cdf.partition_cdf[ctx]
-                p64 = dec.decode_symbol(t, 10)
-                cdf.update(t, p64)
-                _need(p64 == PARTITION_SPLIT, "fixed 32x32 subset")
-                for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                    br, bc = sb_r * 2 + qr, sb_c * 2 + qc
-                    mi_r, mi_c = br * 8, bc * 8
-                    ctx = self._part_ctx(above_part[mi_c], left_part[qr * 8],
-                                         2)
-                    t = cdf.partition_cdf[ctx]
-                    p32 = dec.decode_symbol(t, 10)
-                    cdf.update(t, p32)
-                    _need(p32 == PARTITION_NONE, "fixed 32x32 subset")
-                    self._decode_block_inter(
-                        dec, cdf, grid, br, bc, seq, fr, y_rec, u_rec,
-                        v_rec, ry_p, ru_p, rv_p, skip_grid, above_cul,
-                        above_av, left_cul, left_av)
-                    above_part[mi_c:mi_c + 8] = 24
-                    left_part[qr * 8:qr * 8 + 8] = 24
-        self._end_cdf = cdf
-        return y_rec, u_rec, v_rec
-
-    def _decode_block_inter(self, dec, cdf, grid, br, bc, seq, fr, y_rec,
-                            u_rec, v_rec, ry_p, ru_p, rv_p, skip_grid,
-                            above_cul, above_av, left_cul, left_av):
-        w, h = seq.width, seq.height
-        mi_r, mi_c = br * 8, bc * 8
-        have_above, have_left = mi_r > 0, mi_c > 0
-
-        a_skip = int(skip_grid[mi_r - 1, mi_c]) if have_above else 0
-        l_skip = int(skip_grid[mi_r, mi_c - 1]) if have_left else 0
-        t = cdf.skip_cdfs[a_skip + l_skip]
-        skip = dec.decode_symbol(t)
-        cdf.update(t, skip)
-
-        above_inter = grid.is_inter(mi_r - 1, mi_c) if have_above else None
-        left_inter = grid.is_inter(mi_r, mi_c - 1) if have_left else None
-        is_inter = IM.read_is_inter(
-            dec, cdf, IM.intra_inter_ctx(above_inter, left_inter))
-
-        y_mode = 0
-        angle_delta = 0
-        mv = (0, 0)
-        if is_inter:
-            a_ref = int(grid.ref0[mi_r - 1, mi_c]) if have_above else None
-            l_ref = int(grid.ref0[mi_r, mi_c - 1]) if have_left else None
-            counts = IM.neighbor_ref_counts(
-                a_ref if (a_ref or 0) >= 1 else None,
-                l_ref if (l_ref or 0) >= 1 else None)
-            IM.read_ref_frame_single(dec, cdf, counts)
-            res = find_mv_stack(grid, mi_r, mi_c, 8, 8)
-            mode = IM.read_inter_mode(dec, cdf, res.mode_context)
-            ref_mv_idx = 0
-            if mode in (MV.NEWMV, MV.NEARMV):
-                ref_mv_idx = IM.read_drl_idx(dec, cdf, mode, res.stack,
-                                             res.num_found)
-            if mode == MV.NEARESTMV:
-                mv = res.nearest_mv
-            elif mode == MV.NEARMV:
-                if ref_mv_idx > 0:
-                    mv = res.stack[1 + ref_mv_idx][:2]
-                else:
-                    mv = res.near_mv
-            elif mode == MV.GLOBALMV:
-                mv = (0, 0)
-            else:                     # NEWMV
-                if res.num_found > 1:
-                    ref_mv = res.stack[ref_mv_idx][:2]
-                else:
-                    ref_mv = res.nearest_mv
-                mv = IM.read_mv(dec, cdf, ref_mv)
-            grid.set_block(mi_r, mi_c, 8, 8, MV.LAST_FRAME, mode,
-                           mv[0], mv[1])
-        else:
-            y_mode = IM.read_y_mode_inter(dec, cdf)
-            if 1 <= y_mode <= 8:
-                t = cdf.angle_delta_cdf[y_mode - 1]
-                angle_delta = dec.decode_symbol(t) - 3
-                cdf.update(t, angle_delta + 3)
-            t = cdf.uv_mode_cdf[1][y_mode]
-            uv_mode = dec.decode_symbol(t, 14)
-            cdf.update(t, uv_mode)
-            _need(uv_mode == 0, "UV DC subset")
-            grid.set_block(mi_r, mi_c, 8, 8, MV.INTRA_FRAME, y_mode)
-
-        planes = ((0, y_rec, 32, TX_32X32, ry_p),
-                  (1, u_rec, 16, TX_16X16, ru_p),
-                  (2, v_rec, 16, TX_16X16, rv_p))
-        bw_blocks = w // 32
-        for plane, rec, bs, txs, refp in planes:
-            shift = 0 if plane == 0 else 1
-            y0, x0 = br * (32 >> shift), bc * (32 >> shift)
-            units = (32 >> shift) // 4
-            au0 = (bc * 32 >> shift) // 4
-            lu0 = ((br * 32 >> shift) // 4) % (16 >> shift)
-            if not skip:
-                if plane == 0:
-                    tctx = 0
-                else:
-                    a_nz = (above_cul[plane][au0:au0 + units] &
-                            0x3F)[above_av[plane][au0:au0 + units]]
-                    l_nz = (left_cul[plane][lu0:lu0 + units] &
-                            0x3F)[left_av[plane][lu0:lu0 + units]]
-                    tctx = 7 + int((a_nz != 0).any()) + int((l_nz != 0).any())
-                signs = 0
-                for culs, avs in ((above_cul[plane][au0:au0 + units],
-                                   above_av[plane][au0:au0 + units]),
-                                  (left_cul[plane][lu0:lu0 + units],
-                                   left_av[plane][lu0:lu0 + units])):
-                    for cl, av in zip(culs, avs):
-                        if av:
-                            sgn = int(cl) >> 6
-                            signs += 1 if sgn == 2 else (-1 if sgn == 1
-                                                         else 0)
-                dctx = 2 if signs > 0 else (1 if signs < 0 else 0)
-                lev = read_coeffs_txb(dec, cdf, bs, bs, txs, DCT_DCT,
-                                      min(plane, 1), tctx, dctx,
-                                      is_inter=is_inter)
-                cul = min(63, int(np.abs(lev).sum()))
-                dcv = int(lev[0, 0])
-                if dcv < 0:
-                    cul |= 1 << 6
-                elif dcv > 0:
-                    cul += 2 << 6
-            else:
-                lev = np.zeros((bs, bs), np.int32)
-                cul = 0
-            above_cul[plane][au0:au0 + units] = cul
-            above_av[plane][au0:au0 + units] = True
-            left_cul[plane][lu0:lu0 + units] = cul
-            left_av[plane][lu0:lu0 + units] = True
-
-            if is_inter:
-                pred = predict_inter_block_np(refp, y0, x0, mv, h, w, bs,
-                                              shift, seq.bit_depth)
-            else:
-                pred = self._predict(rec, y0, x0, bs, y_mode if plane == 0
-                                     else 0, angle_delta if plane == 0
-                                     else 0, br, bc, bw_blocks, seq)
-            if lev.any():
-                dq = dequantize(lev[None], txs, fr.base_q_idx,
-                                seq.bit_depth)
-                resid = inv_txfm2d(dq, txs, DCT_DCT, seq.bit_depth)
-                blk = np.asarray(add_residual_clip(pred[None], resid,
-                                                   seq.bit_depth))[0]
-            else:
-                blk = pred
-            rec[y0:y0 + bs, x0:x0 + bs] = blk
-
-        skip_grid[mi_r:mi_r + 8, mi_c:mi_c + 8] = skip
 
     # ---------------- public ---------------- #
 
@@ -641,23 +605,24 @@ class Decoder:
                 r = BitReader(payload)
                 fr = self._parse_frame_header(r, self.seq)
                 r.byte_align()
+                if fr.tile_cols_log2 > 0:
+                    # tile_group_obu: tile_start_and_end flag, then align
+                    _need(r.bit() == 0, "tile_start_and_end_present")
+                    r.byte_align()
                 tile_data = payload[r.bits_read // 8:]
                 self._end_cdf = None
-                if fr.frame_type == 1:
-                    y, u, v = self._decode_tile_inter(tile_data, self.seq,
-                                                      fr)
-                else:
-                    y, u, v = self._decode_tile(tile_data, self.seq, fr)
+                y, u, v = self._decode_tile(tile_data, self.seq, fr)
                 if fr.filter_level[0] or fr.filter_level[1]:
-                    y = np.asarray(deblock_plane_uniform(
-                        y, 32, 14, fr.filter_level[0], fr.filter_level[1],
-                        fr.lf_sharpness))
-                    u = np.asarray(deblock_plane_uniform(
-                        u, 16, 6, fr.filter_level_u, fr.filter_level_u,
-                        fr.lf_sharpness))
-                    v = np.asarray(deblock_plane_uniform(
-                        v, 16, 6, fr.filter_level_v, fr.filter_level_v,
-                        fr.lf_sharpness))
+                    pm = self._part_map
+                    y = np.asarray(deblock_plane_part(
+                        y, pm, 32, 14, fr.filter_level[0],
+                        fr.filter_level[1], fr.lf_sharpness))
+                    u = np.asarray(deblock_plane_part(
+                        u, pm, 16, 6, fr.filter_level_u,
+                        fr.filter_level_u, fr.lf_sharpness))
+                    v = np.asarray(deblock_plane_part(
+                        v, pm, 16, 6, fr.filter_level_v,
+                        fr.filter_level_v, fr.lf_sharpness))
                 dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
                 frame = (y.astype(dt), u.astype(dt), v.astype(dt))
                 refresh = (0xFF if fr.frame_type == 0

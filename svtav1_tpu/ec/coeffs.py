@@ -36,6 +36,28 @@ K_EOB_OFFSET_BITS = [0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
 # SIG_COEF_CONTEXTS_2D = 26; 1D offsets {26, 31, 36} (EbCoefficients.h:46)
 _NZ_CTX_1D = np.array([26, 31] + [36] * 30, np.int32)
 
+# tx-type ↔ coded-symbol maps per ext-tx *set type*
+# (EbCabacContextModel.h:687-704 av1_ext_tx_ind / av1_ext_tx_inv)
+EXT_TX_IND = [
+    [0] * 16,
+    [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [1, 3, 4, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [1, 5, 6, 4, 0, 0, 0, 0, 0, 0, 2, 3, 0, 0, 0, 0],
+    [3, 4, 5, 8, 6, 7, 9, 10, 11, 0, 1, 2, 0, 0, 0, 0],
+    [7, 8, 9, 12, 10, 11, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6],
+]
+EXT_TX_INV = [
+    [0] * 16,
+    [9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [9, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [9, 0, 10, 11, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [9, 10, 11, 0, 1, 2, 4, 5, 3, 6, 7, 8, 0, 0, 0, 0],
+    [9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 4, 5, 3, 6, 7, 8],
+]
+# which tx types each set type admits (first nsyms entries of INV)
+EXT_TX_MEMBERS = [set(inv[:n]) for inv, n in
+                  zip(EXT_TX_INV, (1, 2, 5, 7, 12, 16))]
+
 
 def eob_pos_token(eob: int):
     """(eob_pt, eob_extra) — EbEntropyCoding.c:299-312."""
@@ -140,21 +162,25 @@ def br_contexts(levels2d, tx_class: int) -> np.ndarray:
     return out
 
 
-def _inter_tx_nsyms(tx_size: int, reduced_tx_set: bool) -> int:
-    """Number of coded tx types for an inter luma TXB (spec get_tx_set):
-    sqr-up 64 → DCT only; sqr-up 32 (or any size under reduced_tx_set) →
-    EXT_TX_SET_DCT_IDTX {IDTX, DCT}."""
-    if tbl.txsize_sqr_up(tx_size) > 3:
-        return 1
-    if tbl.txsize_sqr_up(tx_size) == 3 or reduced_tx_set:
-        return 2
-    raise NotImplementedError("full inter tx-type sets (reduced_tx_set=0)")
-
-
-# symbol value of DCT_DCT in EXT_TX_SET_DCT_IDTX (av1_ext_tx_ind[1][0],
-# EbCabacContextModel.h:688); the CDF set index for inter DCT_IDTX is 3
-_DCT_IN_DCT_IDTX = 1
-_ESET_DCT_IDTX = 3
+def tx_set_params(tx_size: int, is_inter: bool, reduced_tx_set: bool = True):
+    """(nsyms, cdf_set_index, set_type) for the luma tx-type signal — spec
+    get_tx_set (EbDefinitions.h:1804-1845).  nsyms == 1 → no symbol coded.
+    cdf_set_index indexes intra_ext_tx_cdf/inter_ext_tx_cdf; set_type
+    indexes EXT_TX_IND/EXT_TX_INV."""
+    squp = tbl.txsize_sqr_up(tx_size)
+    if squp > 3:                       # 64-dim: DCT only
+        return 1, 0, 0
+    if is_inter:
+        # 32x32 or reduced set → EXT_TX_SET_DCT_IDTX {IDTX, DCT}
+        if squp == 3 or reduced_tx_set:
+            return 2, 3, 1             # inter cdf set 3; set type 1
+        raise NotImplementedError("full inter tx sets (reduced_tx_set=0)")
+    if squp == 3:                      # intra 32x32: DCT only
+        return 1, 0, 0
+    if reduced_tx_set:
+        # EXT_TX_SET_DTT4_IDTX (5 types): intra cdf set 2, set type 2
+        return 5, 2, 2
+    raise NotImplementedError("full intra tx sets (reduced_tx_set=0)")
 
 
 def write_golomb(enc, level: int) -> None:
@@ -169,7 +195,8 @@ def write_golomb(enc, level: int) -> None:
 def write_coeffs_txb(enc, cdf, levels2d: np.ndarray, tx_size: int,
                      tx_type: int, plane_type: int, txb_skip_ctx: int,
                      dc_sign_ctx: int, is_inter: bool = False,
-                     reduced_tx_set: bool = True) -> int:
+                     reduced_tx_set: bool = True,
+                     intra_mode: int = 0) -> int:
     """Write one transform block's quantized levels; returns cul_level
     (bottom 6 bits = clamped level sum, bits 6+ = dc sign code).
 
@@ -192,14 +219,23 @@ def write_coeffs_txb(enc, cdf, levels2d: np.ndarray, tx_size: int,
     if eob == 0:
         return 0
 
-    # transform_type (spec §5.11.47): luma inter TXBs with a >1-entry tx
-    # set code the type right after all_zero; we emit DCT_DCT
-    if plane_type == 0 and is_inter:
-        if _inter_tx_nsyms(tx_size, reduced_tx_set) > 1:
-            assert tx_type == 0, "inter tx types beyond DCT not coded yet"
-            t = cdf.inter_ext_tx_cdf[_ESET_DCT_IDTX][tbl.txsize_sqr(tx_size)]
-            enc.encode_symbol(_DCT_IN_DCT_IDTX, t, 2)
-            cdf.update(t, _DCT_IN_DCT_IDTX, 2)
+    # transform_type (spec §5.11.47): luma TXBs with a >1-entry tx set
+    # code the type right after all_zero
+    if plane_type == 0:
+        nsyms, eset, styp = tx_set_params(tx_size, is_inter, reduced_tx_set)
+        if nsyms > 1:
+            if tx_type not in EXT_TX_MEMBERS[styp]:
+                raise ValueError(f"tx_type {tx_type} not in tx set {styp}")
+            sym2 = EXT_TX_IND[styp][tx_type]
+            sq = tbl.txsize_sqr(tx_size)
+            if is_inter:
+                t = cdf.inter_ext_tx_cdf[eset][sq]
+            else:
+                t = cdf.intra_ext_tx_cdf[eset][sq][intra_mode]
+            enc.encode_symbol(sym2, t, nsyms)
+            cdf.update(t, sym2, nsyms)
+        elif tx_type != 0:
+            raise ValueError("tx set admits DCT only")
 
     # eob token
     eob_pt, eob_extra = eob_pos_token(eob)
@@ -280,27 +316,37 @@ def write_coeffs_txb(enc, cdf, levels2d: np.ndarray, tx_size: int,
 def read_coeffs_txb(dec, cdf, h: int, w: int, tx_size: int, tx_type: int,
                     plane_type: int, txb_skip_ctx: int,
                     dc_sign_ctx: int, is_inter: bool = False,
-                    reduced_tx_set: bool = True) -> np.ndarray:
+                    reduced_tx_set: bool = True,
+                    intra_mode: int = 0) -> np.ndarray:
     """Parse one transform block (decoder mirror of write_coeffs_txb,
-    reference: EbDecParseBlock.c parse_coeffs).  Returns levels [h, w]."""
-    scan = tbl.scan(tx_size, tx_type).astype(np.int64)
+    reference: EbDecParseBlock.c parse_coeffs).  Returns (levels [h, w],
+    tx_type) — for luma with a >1-entry tx set the returned tx_type is the
+    parsed one (the passed value is ignored); otherwise it echoes the
+    caller's (chroma derives its type from luma, never coded)."""
     txs = tbl.txs_ctx(tx_size)
-    tx_class = TX_TYPE_TO_CLASS[tx_type]
     levels = np.zeros((h, w), np.int32)
 
     c_skip = cdf.txb_skip_cdf[txs][txb_skip_ctx]
     all_zero = dec.decode_symbol(c_skip)
     cdf.update(c_skip, all_zero)
     if all_zero:
-        return levels
+        return levels, tx_type
 
-    if plane_type == 0 and is_inter:
-        if _inter_tx_nsyms(tx_size, reduced_tx_set) > 1:
-            t = cdf.inter_ext_tx_cdf[_ESET_DCT_IDTX][tbl.txsize_sqr(tx_size)]
-            sym = dec.decode_symbol(t, 2)
-            cdf.update(t, sym, 2)
-            if sym != _DCT_IN_DCT_IDTX:
-                raise NotImplementedError("IDTX inter transform")
+    if plane_type == 0:
+        nsyms, eset, styp = tx_set_params(tx_size, is_inter, reduced_tx_set)
+        if nsyms > 1:
+            sq = tbl.txsize_sqr(tx_size)
+            if is_inter:
+                t = cdf.inter_ext_tx_cdf[eset][sq]
+            else:
+                t = cdf.intra_ext_tx_cdf[eset][sq][intra_mode]
+            sym = dec.decode_symbol(t, nsyms)
+            cdf.update(t, sym, nsyms)
+            tx_type = EXT_TX_INV[styp][sym]
+        else:
+            tx_type = 0
+    scan = tbl.scan(tx_size, tx_type).astype(np.int64)
+    tx_class = TX_TYPE_TO_CLASS[tx_type]
 
     eob_multi_size = (w * h).bit_length() - 1 - 4
     eob_multi_ctx = 0 if tx_class == TX_CLASS_2D else 1
@@ -370,4 +416,4 @@ def read_coeffs_txb(dec, cdf, h: int, w: int, tx_size: int, tx_type: int,
             if sign:
                 level = -level
             out[scan[c]] = level
-    return levels
+    return levels, tx_type

@@ -193,12 +193,18 @@ def _stable_sort_desc(seg):
 
 def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                   ref_frame: int = M.LAST_FRAME, tile=None,
-                  allow_hp: bool = False,
-                  force_int: bool = False) -> MvStackResult:
+                  allow_hp: bool = False, force_int: bool = False,
+                  mi_col_off: int = 0,
+                  frame_mi_cols: int = None) -> MvStackResult:
     """Single-reference find_mv_stack.  tile = (row_start, row_end,
-    col_start, col_end) in mi units (defaults to the whole frame)."""
+    col_start, col_end) in mi units (defaults to the whole grid).  For a
+    tile-local grid, mi_col_off/frame_mi_cols supply the frame-global
+    placement — the stack clamp (clamp_mv_ref) is frame-relative while
+    scans and availability are tile-relative."""
     if tile is None:
         tile = (0, grid.mi_rows, 0, grid.mi_cols)
+    if frame_mi_cols is None:
+        frame_mi_cols = grid.mi_cols
     ctx = _Ctx()
     up_avail = mi_row > tile[0]
     left_avail = mi_col > tile[2]
@@ -283,10 +289,11 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                         ctx.stack.append([mvr, mvc, 2])
                 idx += int(grid.bh4[r, c]) if pss else int(grid.bw4[r, c])
 
-    # clamp
+    # clamp (frame-relative coordinates)
     for e in ctx.stack:
-        e[0], e[1] = M.clamp_mv_ref(e[0], e[1], bw4, bh4, mi_row, mi_col,
-                                    grid.mi_rows, grid.mi_cols)
+        e[0], e[1] = M.clamp_mv_ref(e[0], e[1], bw4, bh4, mi_row,
+                                    mi_col + mi_col_off, grid.mi_rows,
+                                    frame_mi_cols)
 
     # mode context from the three counters
     ref_match_count = int(ctx.found_above > 0) + int(ctx.found_left > 0)

@@ -61,6 +61,8 @@ class FrameConfig:
     filter_level_u: int = 0
     filter_level_v: int = 0
     lf_sharpness: int = 0
+    tile_cols_log2: int = 0         # uniform tile columns (2^k)
+    context_update_tile_id: int = 0
     # inter-frame fields (low-delay P defaults: all refs → DPB slot 0,
     # refresh slot 0, CDFs reset per frame via PRIMARY_REF_NONE)
     error_resilient: bool = False
@@ -182,7 +184,8 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
     sb = seq.sb_size
     sb_cols = (seq.width + sb - 1) // sb
     sb_rows = (seq.height + sb - 1) // sb
-    _write_tile_info(w, sb_cols, sb_rows, sb)
+    _write_tile_info(w, sb_cols, sb_rows, sb, fr.tile_cols_log2,
+                     fr.context_update_tile_id)
 
     # quantization_params
     w.f(fr.base_q_idx, 8)
@@ -231,8 +234,9 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
     return w
 
 
-def _write_tile_info(w: BitWriter, sb_cols: int, sb_rows: int, sb: int):
-    """Single-tile uniform tile info (spec §5.9.15)."""
+def _write_tile_info(w: BitWriter, sb_cols: int, sb_rows: int, sb: int,
+                     tile_cols_log2: int = 0, ctx_update_tile: int = 0):
+    """Uniform tile-column tile info (spec §5.9.15)."""
     sb_shift = 7 if sb == 128 else 6
     sb_size_log2 = sb_shift
     max_tile_width_sb = 4096 >> sb_size_log2
@@ -243,29 +247,25 @@ def _write_tile_info(w: BitWriter, sb_cols: int, sb_rows: int, sb: int):
     min_log2_tiles = max(min_log2_tile_cols,
                          _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
 
-    if min_log2_tile_cols > 0 or min_log2_tiles > 0:
-        # width > 4096 or area > 4096*2304 forces multiple tiles, but the
-        # assembler emits a single tile payload with no size prefixes —
-        # refuse rather than emit a corrupt stream.
-        raise NotImplementedError(
-            "frame size forces multiple tiles (multi-tile output pending)")
+    tile_cols_log2 = max(tile_cols_log2, min_log2_tile_cols)
+    if tile_cols_log2 > max_log2_tile_cols:
+        raise ValueError("tile_cols_log2 beyond the level limit")
+    min_log2_tile_rows = max(min_log2_tiles - tile_cols_log2, 0)
+    if min_log2_tile_rows > 0:
+        raise NotImplementedError("frame area forces tile rows")
     w.bit(1)                        # uniform_tile_spacing_flag
-    # tile_cols_log2: target = min_log2_tile_cols (fewest tiles)
-    tile_cols_log2 = min_log2_tile_cols
     for _ in range(tile_cols_log2 - min_log2_tile_cols):
         w.bit(1)
     if tile_cols_log2 < max_log2_tile_cols:
         w.bit(0)
-    min_log2_tile_rows = max(min_log2_tiles - tile_cols_log2, 0)
-    tile_rows_log2 = min_log2_tile_rows
+    tile_rows_log2 = 0
     for _ in range(tile_rows_log2 - min_log2_tile_rows):
         w.bit(1)
     if tile_rows_log2 < max_log2_tile_rows:
         w.bit(0)
     if tile_cols_log2 > 0 or tile_rows_log2 > 0:
-        # context_update_tile_id + tile_size_bytes
-        w.f(0, tile_cols_log2 + tile_rows_log2)
-        w.f(3, 2)                   # tile_size_bytes_minus_1
+        w.f(ctx_update_tile, tile_cols_log2 + tile_rows_log2)
+        w.f(3, 2)                   # tile_size_bytes_minus_1 (4-byte sizes)
     return (1 << tile_cols_log2), (1 << tile_rows_log2)
 
 
@@ -277,16 +277,32 @@ def _tile_log2(blk_size: int, target: int) -> int:
 
 
 def assemble_frame(seq: SequenceConfig, fr: FrameConfig,
-                   tile_payload: bytes, first: bool = False) -> bytes:
-    """TD + (sequence header if first) + OBU_FRAME(frame hdr + tile group)."""
+                   tile_payload, first: bool = False) -> bytes:
+    """TD + (sequence header if first) + OBU_FRAME(frame hdr + tile group).
+
+    tile_payload: bytes (single tile) or a list of per-tile byte strings
+    (uniform tile columns; fr.tile_cols_log2 must match)."""
     out = wrap_obu(OBU_TEMPORAL_DELIMITER, b"")
     if first:
         out += write_sequence_header_obu(seq)
     hdr = write_frame_header(seq, fr)
     hdr.byte_align()
-    # tile group: single tile → no tile_start_and_end_present bit, just
-    # byte-aligned tile data
-    payload = hdr.data() + tile_payload
+    if isinstance(tile_payload, (list, tuple)):
+        tiles = list(tile_payload)
+    else:
+        tiles = [tile_payload]
+    if len(tiles) > 1:
+        # tile_start_and_end_present_flag = 0 (one group, all tiles),
+        # then tile_size_minus_1 (le32) before every tile but the last
+        hdr.bit(0)
+        hdr.byte_align()
+        body = b""
+        for t in tiles[:-1]:
+            body += (len(t) - 1).to_bytes(4, "little") + t
+        body += tiles[-1]
+        payload = hdr.data() + body
+    else:
+        payload = hdr.data() + tiles[0]
     out += wrap_obu(OBU_FRAME, payload)
     return out
 

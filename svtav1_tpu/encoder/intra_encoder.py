@@ -27,7 +27,7 @@ from ..ec.coeffs import write_coeffs_txb
 from ..ec.range_coder import RangeEncoder
 from ..ops import intra
 from ..ops.quant import dequantize, quantize
-from ..ops.deblock import deblock_plane_uniform
+from ..ops.deblock import deblock_plane_part, deblock_plane_uniform
 from ..ops.transforms import add_residual_clip, fwd_txfm2d, inv_txfm2d
 from ..spec import tables as tbl
 from ..spec.cdf import CdfContext
@@ -57,6 +57,8 @@ class EncoderConfig:
     cdf_update: bool = True
     lf_level: int = -1          # -1 → derive from qindex; 0 → off
     angle_deltas: tuple = (0,)  # e.g. (-2, 0, 2) widens directional search
+    part_search: bool = True    # 32x32 NONE vs SPLIT(16x16) RD decision
+    tile_cols: int = 1          # power-of-two uniform tile columns
 
 
 def _lambda(qindex: int) -> float:
@@ -68,6 +70,13 @@ class IntraEncoder:
     def __init__(self, cfg: EncoderConfig):
         if cfg.width % SB or cfg.height % SB:
             raise NotImplementedError("round-1 slice: dims multiple of 64")
+        t = cfg.tile_cols
+        if t < 1 or (t & (t - 1)):
+            raise ValueError("tile_cols must be a power of two")
+        if t > 1 and ((cfg.width // SB) % t or not cfg.part_search):
+            raise NotImplementedError(
+                "tile columns need SB-aligned equal widths and the "
+                "partition (general) coding path")
         self.cfg = cfg
         self.seq = SequenceConfig(cfg.width, cfg.height, cfg.bit_depth)
         self._first = True
@@ -91,6 +100,8 @@ class IntraEncoder:
         ub = np.stack([f[1] for f in frames])
         vb = np.stack([f[2] for f in frames])
         bd = cfg.bit_depth
+        if cfg.part_search:
+            return self._device_encode_part(yb, ub, vb)
         y_mi, y_lev, y_rec = encode_plane_wavefront(
             yb, BLK, TX_32X32, cfg.qindex, CAND_MODES, bd,
             tuple(cfg.angle_deltas))
@@ -105,8 +116,134 @@ class IntraEncoder:
             v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3])
         return len(frames), y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec
 
+    def _device_encode_part(self, yb, ub, vb):
+        """Partition-search device stage (32 NONE vs SPLIT 16).  Tile
+        columns ride the batch axis: [T*B, h, w/T] slices encode
+        independently — exactly the tile semantics (availability stops at
+        tile edges), and the axis shards over a device mesh unchanged."""
+        import jax.numpy as jnp
+        from ..spec.txfm import TX_8X8
+        from .wavefront2 import SUB_MODES, encode_plane_wavefront_part
+
+        cfg = self.cfg
+        bd = cfg.bit_depth
+        T = cfg.tile_cols
+        if T > 1:
+            tw = yb.shape[2] // T
+            yb = np.concatenate([yb[:, :, t * tw:(t + 1) * tw]
+                                 for t in range(T)])
+            twc = ub.shape[2] // T
+            ub = np.concatenate([ub[:, :, t * twc:(t + 1) * twc]
+                                 for t in range(T)])
+            vb = np.concatenate([vb[:, :, t * twc:(t + 1) * twc]
+                                 for t in range(T)])
+        if getattr(self, "batch_sharding", None) is not None:
+            # multi-chip: tiles (stacked on the batch axis) shard over the
+            # device mesh — each tile encodes on its own chip, and the
+            # resulting bitstream is byte-identical to the 1-device run
+            import jax
+            yb = jax.device_put(jnp.asarray(yb), self.batch_sharding)
+            ub = jax.device_put(jnp.asarray(ub), self.batch_sharding)
+            vb = jax.device_put(jnp.asarray(vb), self.batch_sharding)
+        B, h, w = yb.shape
+        bh, bw = h // BLK, w // BLK
+        dummy_p = jnp.zeros((B, 1, bh, bw, 1, 1), jnp.int32)
+        dummy_r = jnp.zeros((B, 1, bh, bw), jnp.float32)
+        dummy_rs = jnp.zeros((B, 1, bh, bw, 4), jnp.float32)
+        dummy_o = jnp.zeros((B, 1, bh, bw), bool)
+        dummy_os = jnp.zeros((B, 1, bh, bw, 4), bool)
+        ones = jnp.ones((B, bh, bw), bool)
+        ones4 = jnp.ones((B, bh, bw, 4), bool)
+        free = jnp.full((B, bh, bw), -1, jnp.int32)
+        part, y_mi, y_lev, y_smi, y_slev, y_rec = \
+            encode_plane_wavefront_part(
+                jnp.asarray(yb), BLK, TX_32X32, TX_16X16, cfg.qindex,
+                dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
+                ones, ones4, free, 0, CAND_MODES, SUB_MODES, bd,
+                tuple(cfg.angle_deltas), True)
+        _, u_mi, u_lev, u_smi, u_slev, u_rec = \
+            encode_plane_wavefront_part(
+                jnp.asarray(ub), CBLK, TX_16X16, TX_8X8, cfg.qindex,
+                dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
+                ones, ones4, part, 0, (intra.DC_PRED,), (intra.DC_PRED,),
+                bd, (0,), True)
+        _, v_mi, v_lev, v_smi, v_slev, v_rec = \
+            encode_plane_wavefront_part(
+                jnp.asarray(vb), CBLK, TX_16X16, TX_8X8, cfg.qindex,
+                dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
+                ones, ones4, part, 0, (intra.DC_PRED,), (intra.DC_PRED,),
+                bd, (0,), True)
+        if T > 1:
+            # reassemble full-frame planes/maps from the tile axis for
+            # deblocking (the loop filter crosses tile boundaries)
+            nB = B // T
+            unt = lambda a: jnp.concatenate(
+                [a[t * nB:(t + 1) * nB] for t in range(T)], axis=2)
+            y_rec = unt(y_rec)
+            u_rec = unt(u_rec)
+            v_rec = unt(v_rec)
+            part_f = unt(part)
+        else:
+            part_f = part
+        lf = self.lf_levels()
+        if lf[0] or lf[1]:
+            y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0], lf[1])
+            u_rec = deblock_plane_part(u_rec, part_f, CBLK, 6, lf[2],
+                                       lf[2])
+            v_rec = deblock_plane_part(v_rec, part_f, CBLK, 6, lf[3],
+                                       lf[3])
+        return ("part", yb.shape[0] // T, part, y_mi, y_lev, y_smi, y_slev,
+                u_lev, u_slev, v_lev, v_slev, y_rec, u_rec, v_rec)
+
+    def _host_finish_part(self, dev):
+        from .tile_codec import TileCoder
+        from .wavefront2 import SUB_MODES
+
+        cfg = self.cfg
+        (_, n, part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
+         v_slev, y_rec, u_rec, v_rec) = dev
+        arrs = [np.asarray(a) for a in
+                (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
+                 v_slev, y_rec, u_rec, v_rec)]
+        (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev, v_slev,
+         y_rec, u_rec, v_rec) = arrs
+        cands = expand_candidates(CAND_MODES, tuple(cfg.angle_deltas))
+        cands_sub = expand_candidates(SUB_MODES, (0,))
+        T = cfg.tile_cols
+        tw = cfg.width // T
+        tlog = T.bit_length() - 1
+        payloads, recons = [], []
+        for b in range(n):
+            tiles = []
+            for t in range(T):
+                i = t * n + b         # tile-major batch layout
+                tc = TileCoder(tw, cfg.height, cfg.qindex,
+                               cfg.cdf_update, kf=True,
+                               mi_col_off=t * tw // 4,
+                               frame_mi_cols=cfg.width // 4)
+                tile, _ = tc.encode(part[i], y_mi[i], y_lev[i], u_lev[i],
+                                    v_lev[i], y_smi[i], y_slev[i],
+                                    u_slev[i], v_slev[i], None, None,
+                                    cands, cands_sub, len(cands),
+                                    len(cands_sub))
+                tiles.append(tile)
+            lfv = self.lf_levels()
+            fr = FrameConfig(base_q_idx=cfg.qindex,
+                             disable_cdf_update=not cfg.cdf_update,
+                             filter_level=(lfv[0], lfv[1]),
+                             filter_level_u=lfv[2], filter_level_v=lfv[3],
+                             tile_cols_log2=tlog)
+            payloads.append(assemble_key_frame(
+                self.seq, fr, tiles if T > 1 else tiles[0],
+                first=self._first))
+            self._first = False
+            recons.append((y_rec[b], u_rec[b], v_rec[b]))
+        return payloads, recons
+
     def host_finish(self, dev):
         """Entropy-code a device batch (blocks on the device arrays)."""
+        if dev and dev[0] == "part":
+            return self._host_finish_part(dev)
         cfg = self.cfg
         n, y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec = dev
         y_mi = np.asarray(y_mi)

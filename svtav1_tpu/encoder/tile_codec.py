@@ -1,0 +1,226 @@
+"""Unified tile entropy coder: key + inter frames, 32x32 NONE or SPLIT
+into 16x16 leaves (chroma 8x8 under split).
+
+Generalizes encoder/tile_inter.py (which remains as the flat-32 inter
+path) to the two-depth partition tree; the reference analogue is
+svt_aom_write_sb's recursive partition walk (EbEntropyCoding.c:5440).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ec import inter_modes as IM
+from ..ec import modes as M
+from ..ec.coeffs import write_coeffs_txb
+from ..ec.mvpred import MiGrid, find_mv_stack
+from ..ec.range_coder import RangeEncoder
+from ..spec import mv as MV
+from ..spec.cdf import CdfContext
+from ..spec.txfm import TX_8X8, TX_16X16, TX_32X32, DCT_DCT
+from .tile_inter import choose_inter_mode
+
+SB = 64
+
+# size_group_lookup per luma block size (intra y-mode cdf bucket)
+SIZE_GROUP = {32: 3, 16: 2}
+
+
+class TileCoder:
+    """One tile's encoding pass (single tile per frame)."""
+
+    def __init__(self, width, height, qindex, cdf_update, kf: bool,
+                 cdf_init=None, mi_col_off: int = 0,
+                 frame_mi_cols: int = None):
+        self.w, self.h = width, height
+        self.kf = kf
+        self.mi_col_off = mi_col_off
+        self.frame_mi_cols = frame_mi_cols or width // 4
+        self.mi_cols, self.mi_rows = width // 4, height // 4
+        self.enc = RangeEncoder()
+        self.cdf = (cdf_init.clone() if cdf_init is not None
+                    else CdfContext(qindex, update=cdf_update))
+        self.grid = MiGrid(self.mi_rows, self.mi_cols)
+        self.above_part = np.zeros(self.mi_cols, np.uint8)
+        self.skip_grid = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self.mode_grid = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self.above_cul = {0: np.zeros(width // 4, np.uint8),
+                          1: np.zeros(width // 8, np.uint8),
+                          2: np.zeros(width // 8, np.uint8)}
+        self.above_av = {p: np.zeros_like(self.above_cul[p], bool)
+                         for p in range(3)}
+
+    def encode(self, part, mi_top, lev_top_y, lev_top_u, lev_top_v,
+               mi_sub, lev_sub_y, lev_sub_u, lev_sub_v, mv_top, mv_sub,
+               cands_top, cands_sub, n_i_top, n_i_sub):
+        """part [bh,bw] 0/1; *_top at 32-block granularity; *_sub indexed
+        [bh,bw,4(z),...]; mv_top [bh,bw,2]; mv_sub [bh,bw,4,2].  For key
+        frames the inter params may be None."""
+        enc, cdf = self.enc, self.cdf
+        sb_cols, sb_rows = self.w // SB, self.h // SB
+        for sb_r in range(sb_rows):
+            self.left_part = np.zeros(SB // 4, np.uint8)
+            self.left_cul = {0: np.zeros(SB // 4, np.uint8),
+                             1: np.zeros(SB // 8, np.uint8),
+                             2: np.zeros(SB // 8, np.uint8)}
+            self.left_av = {p: np.zeros_like(self.left_cul[p], bool)
+                            for p in range(3)}
+            for sb_c in range(sb_cols):
+                ctx = M.partition_plane_ctx(int(self.above_part[sb_c * 16]),
+                                            int(self.left_part[0]), SB)
+                M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
+                for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    br, bc = sb_r * 2 + qr, sb_c * 2 + qc
+                    self._code_32(br, bc, qr, part, mi_top, lev_top_y,
+                                  lev_top_u, lev_top_v, mi_sub, lev_sub_y,
+                                  lev_sub_u, lev_sub_v, mv_top, mv_sub,
+                                  cands_top, cands_sub, n_i_top, n_i_sub)
+        return enc.done(), cdf
+
+    # ---------------------------------------------------------------- #
+
+    def _code_32(self, br, bc, qr, part, mi_top, ly, lu, lv, mi_sub, sly,
+                 slu, slv, mv_top, mv_sub, cands_top, cands_sub, n_i_top,
+                 n_i_sub):
+        enc, cdf = self.enc, self.cdf
+        mi_r, mi_c = br * 8, bc * 8
+        ctx = M.partition_plane_ctx(int(self.above_part[mi_c]),
+                                    int(self.left_part[qr * 8]), 32)
+        split = bool(part[br, bc]) if part is not None else False
+        if not split:
+            M.write_partition(enc, cdf, ctx, M.PARTITION_NONE, 32)
+            idx = int(mi_top[br, bc])
+            mv = (mv_top[br, bc] if mv_top is not None else None)
+            self._code_block(mi_r, mi_c, 32, idx, n_i_top, cands_top,
+                             ly[br, bc], lu[br, bc], lv[br, bc], mv,
+                             TX_32X32, TX_16X16)
+            a, l = M.partition_ctx_value(32, 32)
+            self.above_part[mi_c:mi_c + 8] = a
+            self.left_part[qr * 8:qr * 8 + 8] = l
+            return
+        M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, 32)
+        for z, (sr, sc) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            smr, smc = mi_r + sr * 4, mi_c + sc * 4
+            lctx = M.partition_plane_ctx(
+                int(self.above_part[smc]),
+                int(self.left_part[qr * 8 + sr * 4]), 16)
+            M.write_partition(enc, cdf, lctx, M.PARTITION_NONE, 16)
+            idx = int(mi_sub[br, bc, z])
+            mv = (mv_sub[br, bc, z] if mv_sub is not None else None)
+            self._code_block(smr, smc, 16, idx, n_i_sub, cands_sub,
+                             sly[br, bc, z], slu[br, bc, z],
+                             slv[br, bc, z], mv, TX_16X16, TX_8X8)
+            a, l = M.partition_ctx_value(16, 16)
+            self.above_part[smc:smc + 4] = a
+            self.left_part[qr * 8 + sr * 4:qr * 8 + sr * 4 + 4] = l
+
+    # ---------------------------------------------------------------- #
+
+    def _code_block(self, mi_r, mi_c, bs, idx, n_intra, cands, y_lev,
+                    u_lev, v_lev, mv, tx_y, tx_uv):
+        enc, cdf, grid = self.enc, self.cdf, self.grid
+        bw4 = bs // 4
+        have_above, have_left = mi_r > 0, mi_c > 0
+        is_inter = idx >= n_intra
+        skip = int(not (y_lev.any() or u_lev.any() or v_lev.any()))
+
+        a_skip = int(self.skip_grid[mi_r - 1, mi_c]) if have_above else 0
+        l_skip = int(self.skip_grid[mi_r, mi_c - 1]) if have_left else 0
+        M.write_skip(enc, cdf, a_skip + l_skip, skip)
+
+        y_mode = 0
+        if self.kf:
+            mode, delta = cands[idx]
+            y_mode = mode
+            a_mode = int(self.mode_grid[mi_r - 1, mi_c]) if have_above else 0
+            l_mode = int(self.mode_grid[mi_r, mi_c - 1]) if have_left else 0
+            M.write_kf_y_mode(enc, cdf, a_mode, l_mode, mode)
+            if M.is_directional(mode):
+                M.write_angle_delta(enc, cdf, mode, delta)
+            M.write_uv_mode(enc, cdf, True, mode, 0)
+            grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, mode)
+            self.mode_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = mode
+        else:
+            above_inter = grid.is_inter(mi_r - 1, mi_c) if have_above \
+                else None
+            left_inter = grid.is_inter(mi_r, mi_c - 1) if have_left else None
+            IM.write_is_inter(enc, cdf,
+                              IM.intra_inter_ctx(above_inter, left_inter),
+                              is_inter)
+            if is_inter:
+                a_ref = int(grid.ref0[mi_r - 1, mi_c]) if have_above \
+                    else None
+                l_ref = int(grid.ref0[mi_r, mi_c - 1]) if have_left else None
+                counts = IM.neighbor_ref_counts(
+                    a_ref if (a_ref or 0) >= 1 else None,
+                    l_ref if (l_ref or 0) >= 1 else None)
+                IM.write_ref_frame_last(enc, cdf, counts)
+                mvv = ((int(mv[0]), int(mv[1]))
+                       if idx == n_intra else (0, 0))
+                res = find_mv_stack(grid, mi_r, mi_c, bw4, bw4,
+                                    mi_col_off=self.mi_col_off,
+                                    frame_mi_cols=self.frame_mi_cols)
+                mode, ref_mv = choose_inter_mode(mvv, res)
+                IM.write_inter_mode(enc, cdf, mode, res.mode_context)
+                if mode in (MV.NEWMV, MV.NEARMV):
+                    IM.write_drl_idx(enc, cdf, mode, res.stack,
+                                     res.num_found)
+                if mode == MV.NEWMV:
+                    IM.write_mv(enc, cdf, mvv, ref_mv)
+                grid.set_block(mi_r, mi_c, bw4, bw4, MV.LAST_FRAME, mode,
+                               mvv[0], mvv[1])
+            else:
+                mode, delta = cands[idx]
+                y_mode = mode
+                IM._sym(enc, cdf, cdf.y_mode_cdf[SIZE_GROUP[bs]], mode, 13)
+                if M.is_directional(mode):
+                    M.write_angle_delta(enc, cdf, mode, delta)
+                M.write_uv_mode(enc, cdf, True, mode, 0)
+                grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, mode)
+
+        self._code_residuals(mi_r, mi_c, bs, skip, is_inter, y_mode,
+                             y_lev, u_lev, v_lev, tx_y, tx_uv)
+        self.skip_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = skip
+
+    def _code_residuals(self, mi_r, mi_c, bs, skip, is_inter, y_mode,
+                        y_lev, u_lev, v_lev, tx_y, tx_uv):
+        enc, cdf = self.enc, self.cdf
+        sb_mi_r = mi_r % 16
+        for plane, lev, txs in ((0, y_lev, tx_y), (1, u_lev, tx_uv),
+                                (2, v_lev, tx_uv)):
+            shift = 0 if plane == 0 else 1
+            units = (bs >> shift) // 4
+            au0 = ((mi_c * 4) >> shift) // 4
+            lu0 = ((sb_mi_r * 4) >> shift) // 4
+            if skip:
+                self.above_cul[plane][au0:au0 + units] = 0
+                self.above_av[plane][au0:au0 + units] = True
+                self.left_cul[plane][lu0:lu0 + units] = 0
+                self.left_av[plane][lu0:lu0 + units] = True
+                continue
+            if plane == 0:
+                tctx = 0
+            else:
+                a_nz = (self.above_cul[plane][au0:au0 + units] &
+                        0x3F)[self.above_av[plane][au0:au0 + units]]
+                l_nz = (self.left_cul[plane][lu0:lu0 + units] &
+                        0x3F)[self.left_av[plane][lu0:lu0 + units]]
+                tctx = 7 + int((a_nz != 0).any()) + int((l_nz != 0).any())
+            signs = 0
+            for culs, avs in ((self.above_cul[plane][au0:au0 + units],
+                               self.above_av[plane][au0:au0 + units]),
+                              (self.left_cul[plane][lu0:lu0 + units],
+                               self.left_av[plane][lu0:lu0 + units])):
+                for cl, av in zip(culs, avs):
+                    if av:
+                        s = int(cl) >> 6
+                        signs += 1 if s == 2 else (-1 if s == 1 else 0)
+            dctx = 2 if signs > 0 else (1 if signs < 0 else 0)
+            cul = write_coeffs_txb(enc, cdf, lev, txs, DCT_DCT,
+                                   min(plane, 1), tctx, dctx,
+                                   is_inter=is_inter,
+                                   intra_mode=y_mode)
+            self.above_cul[plane][au0:au0 + units] = cul
+            self.above_av[plane][au0:au0 + units] = True
+            self.left_cul[plane][lu0:lu0 + units] = cul
+            self.left_av[plane][lu0:lu0 + units] = True

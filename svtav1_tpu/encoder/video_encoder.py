@@ -92,6 +92,8 @@ class VideoEncoder:
     # -------------------------------------------------------------- #
 
     def _encode_p(self, y, u, v):
+        if self.cfg.part_search:
+            return self._encode_p_part(y, u, v)
         cfg = self.cfg
         bd = cfg.bit_depth
         h, w = y.shape
@@ -178,4 +180,209 @@ class VideoEncoder:
         payload = assemble_frame(self.seq, fr, tile, first=False)
         rec = (np.asarray(y_rec)[0], np.asarray(u_rec)[0],
                np.asarray(v_rec)[0])
+        return payload, rec
+
+
+    # -------------------------------------------------------------- #
+
+    def _encode_p_part(self, y, u, v):
+        """P frame with the 32-vs-16 partition decision: separate ME at
+        both block sizes, inter candidates at both depths of the
+        two-depth wavefront, chroma partition forced by luma."""
+        from ..spec.txfm import TX_8X8
+        from .tile_codec import TileCoder
+        from .wavefront2 import SUB_MODES, encode_plane_wavefront_part
+        from .wavefront import expand_candidates
+
+        cfg = self.cfg
+        bd = cfg.bit_depth
+        h, w = y.shape
+        bh, bw = h // BLK, w // BLK
+        N = bh * bw
+        ry, ru, rv = self._dpb
+
+        ryp = pad_plane(jnp.asarray(ry)[None].astype(jnp.int32))
+        rup = pad_plane(jnp.asarray(ru)[None].astype(jnp.int32))
+        rvp = pad_plane(jnp.asarray(rv)[None].astype(jnp.int32))
+
+        yj = jnp.asarray(y)[None]
+        rj = jnp.asarray(ry)[None]
+        mv32, _ = motion_estimate(yj, rj, BLK)           # [1,bh,bw,2]
+        mv16, _ = motion_estimate(yj, rj, 16)            # [1,2bh,2bw,2]
+
+        y0 = (jnp.arange(N) // bw * BLK)[None]
+        x0 = (jnp.arange(N) % bw * BLK)[None]
+        mv32f = mv32.reshape(1, N, 2)
+        pred_new = predict_inter_blocks(ryp, y0, x0, mv32f, h, w, BLK, 0,
+                                        bd)
+        pred_zero = predict_inter_blocks(ryp, y0, x0, jnp.zeros_like(mv32f),
+                                         h, w, BLK, 0, bd)
+        extra_top = jnp.stack([pred_new, pred_zero],
+                              1).reshape(1, 2, bh, bw, BLK, BLK)
+
+        # sub-block (16x16) inter candidates, z-order within each 32 block
+        mv16z = mv16.reshape(1, bh, 2, bw, 2, 2).transpose(0, 1, 3, 2, 4, 5)
+        mv16z = mv16z.reshape(1, bh, bw, 4, 2)           # [.., z, 2]
+        mvsf = mv16z.reshape(1, N * 4, 2)
+        zi = jnp.arange(N * 4)
+        b_r, rem = zi // (4 * bw), zi % (4 * bw)
+        # careful: layout is (bh, bw, 4): index = (r*bw + c)*4 + z
+        b_r = zi // (bw * 4)
+        b_c = (zi // 4) % bw
+        zz = zi % 4
+        sy0 = b_r * BLK + (zz >> 1) * 16
+        sx0 = b_c * BLK + (zz & 1) * 16
+        p16_new = predict_inter_blocks(ryp, sy0[None], sx0[None], mvsf, h,
+                                       w, 16, 0, bd)
+        p16_zero = predict_inter_blocks(ryp, sy0[None], sx0[None],
+                                        jnp.zeros_like(mvsf), h, w, 16, 0,
+                                        bd)
+        extra_sub = jnp.stack([p16_new, p16_zero],
+                              1).reshape(1, 2, bh, bw, 4, 16, 16)
+
+        amv = jnp.abs(mv32.astype(jnp.float32))
+        r_new = 14.0 + 2.5 * (jnp.log2(1.0 + amv[..., 0]) +
+                              jnp.log2(1.0 + amv[..., 1]))
+        r_zero = jnp.full((1, bh, bw), 6.0, jnp.float32)
+        rate_top = jnp.stack([r_new, r_zero], 1)
+        amv16 = jnp.abs(mv16z.astype(jnp.float32))
+        rs_new = 14.0 + 2.5 * (jnp.log2(1.0 + amv16[..., 0]) +
+                               jnp.log2(1.0 + amv16[..., 1]))
+        rs_zero = jnp.full((1, bh, bw, 4), 6.0, jnp.float32)
+        rate_sub = jnp.stack([rs_new, rs_zero], 1)
+        # tile columns ride the batch axis (slices of every block-grid
+        # tensor along bw; MC extras were computed with frame coords)
+        T = cfg.tile_cols
+        bw_t = bw // T
+
+        def tstack(a, axis):
+            if T == 1:
+                return a
+            n = a.shape[axis] // T
+            sl = [slice(None)] * a.ndim
+            parts = []
+            for t in range(T):
+                sl[axis] = slice(t * n, (t + 1) * n)
+                parts.append(a[tuple(sl)])
+            return jnp.concatenate(parts, axis=0)
+
+        src_t = tstack(yj.astype(jnp.int32), 2)
+        extra_top_t = tstack(extra_top, 3)
+        extra_sub_t = tstack(extra_sub, 3)
+        rate_top_t = tstack(rate_top, 3)
+        rate_sub_t = tstack(rate_sub, 3)
+        mv32_t = tstack(mv32, 2)
+        mv16z_t = tstack(mv16z, 2)
+        ones = jnp.ones((T, bh, bw_t), bool)
+        ones4 = jnp.ones((T, bh, bw_t, 4), bool)
+        ok_top = jnp.ones((T, 2, bh, bw_t), bool)
+        ok_sub = jnp.ones((T, 2, bh, bw_t, 4), bool)
+        free = jnp.full((T, bh, bw_t), -1, jnp.int32)
+
+        part, y_mi, y_lev, y_smi, y_slev, y_rec = \
+            encode_plane_wavefront_part(
+                src_t, BLK, TX_32X32, TX_16X16, cfg.qindex,
+                extra_top_t, rate_top_t, extra_sub_t, rate_sub_t, ok_top,
+                ok_sub, ones, ones4, free, 2, P_INTRA_MODES, SUB_MODES, bd,
+                tuple(cfg.angle_deltas), False)
+
+        cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
+        cands_sub = expand_candidates(SUB_MODES, (0,))
+        n_i_top = len(cands)
+        n_i_sub = len(cands_sub)
+        top_inter = y_mi >= n_i_top
+        mv_top_f = jnp.where((y_mi == n_i_top)[..., None], mv32_t, 0)
+        sub_inter = y_smi >= n_i_sub
+        mv_sub_f = jnp.where((y_smi == n_i_sub)[..., None], mv16z_t, 0)
+
+        # chroma: top 16x16 (part NONE) or 8x8 subs (SPLIT), mv from luma
+        y0c, x0c = y0 // 2, x0 // 2
+        # chroma MC needs frame-level mvs: reassemble from the tile axis
+        def tunstack(a, axis):
+            if T == 1:
+                return a
+            parts = [a[t:t + 1] for t in range(T)]
+            return jnp.concatenate(parts, axis=axis)
+        mv_top_fr = tunstack(mv_top_f, 2)                # [1, bh, bw, 2]
+        mv_sub_fr = tunstack(mv_sub_f, 2)
+        mv_top_cf = mv_top_fr.reshape(1, N, 2)
+        pu_t = predict_inter_blocks(rup, y0c, x0c, mv_top_cf, h, w, CBLK,
+                                    1, bd)
+        pv_t = predict_inter_blocks(rvp, y0c, x0c, mv_top_cf, h, w, CBLK,
+                                    1, bd)
+        mv_sub_cf = mv_sub_fr.reshape(1, N * 4, 2)
+        pu_s = predict_inter_blocks(rup, (sy0 // 2)[None], (sx0 // 2)[None],
+                                    mv_sub_cf, h, w, 8, 1, bd)
+        pv_s = predict_inter_blocks(rvp, (sy0 // 2)[None], (sx0 // 2)[None],
+                                    mv_sub_cf, h, w, 8, 1, bd)
+        c_ok_top = top_inter[:, None]
+        c_ok_sub = sub_inter[:, None]
+        c_rate = jnp.zeros((T, 1, bh, bw_t), jnp.float32)
+        c_rate_s = jnp.zeros((T, 1, bh, bw_t, 4), jnp.float32)
+
+        def chroma_pass(plane, pt, ps):
+            return encode_plane_wavefront_part(
+                tstack(jnp.asarray(plane)[None].astype(jnp.int32), 2),
+                CBLK, TX_16X16, TX_8X8, cfg.qindex,
+                tstack(pt.reshape(1, 1, bh, bw, CBLK, CBLK), 3), c_rate,
+                tstack(ps.reshape(1, 1, bh, bw, 4, 8, 8), 3), c_rate_s,
+                c_ok_top, c_ok_sub, ~top_inter, ~sub_inter, part, 1,
+                (0,), (0,), bd, (0,), False)
+
+        _, u_mi, u_lev, u_smi, u_slev, u_rec = chroma_pass(u, pu_t, pu_s)
+        _, v_mi, v_lev, v_smi, v_slev, v_rec = chroma_pass(v, pv_t, pv_s)
+
+        # reassemble frame planes/maps for (cross-tile) deblocking
+        part_f = tunstack(part, 2)
+        y_rec = tunstack(y_rec, 2)
+        u_rec = tunstack(u_rec, 2)
+        v_rec = tunstack(v_rec, 2)
+        lf = self._p_lf_levels()
+        if lf[0] or lf[1]:
+            from ..ops.deblock import deblock_plane_part
+            y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0],
+                                       lf[1])
+            u_rec = deblock_plane_part(u_rec, part_f, CBLK, 6, lf[2],
+                                       lf[2])
+            v_rec = deblock_plane_part(v_rec, part_f, CBLK, 6, lf[3],
+                                       lf[3])
+
+        arrs = [np.asarray(a) for a in
+                (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
+                 v_slev, mv_top_f, mv_sub_f)]
+        (part_n, y_mi_n, y_lev_n, y_smi_n, y_slev_n, u_lev_n, u_slev_n,
+         v_lev_n, v_slev_n, mv_t_n, mv_s_n) = arrs
+        y_rec_n = np.asarray(y_rec)[0]
+        u_rec_n = np.asarray(u_rec)[0]
+        v_rec_n = np.asarray(v_rec)[0]
+
+        tw_px = w // T
+        tiles = []
+        end_cdf = None
+        for t in range(T):
+            tc = TileCoder(tw_px, h, cfg.qindex, cfg.cdf_update, kf=False,
+                           cdf_init=self._cdf_state,
+                           mi_col_off=t * tw_px // 4,
+                           frame_mi_cols=w // 4)
+            tile, tcdf = tc.encode(part_n[t], y_mi_n[t], y_lev_n[t],
+                                   u_lev_n[t], v_lev_n[t], y_smi_n[t],
+                                   y_slev_n[t], u_slev_n[t], v_slev_n[t],
+                                   mv_t_n[t], mv_s_n[t], cands, cands_sub,
+                                   n_i_top, n_i_sub)
+            tiles.append(tile)
+            if t == 0:
+                end_cdf = tcdf
+        primary_ref = 0 if self._cdf_state is not None else 7
+        fr = FrameConfig(frame_type=1, base_q_idx=cfg.qindex,
+                         disable_cdf_update=not cfg.cdf_update,
+                         disable_frame_end_update_cdf=not cfg.cdf_update,
+                         primary_ref_frame=primary_ref,
+                         filter_level=(lf[0], lf[1]),
+                         filter_level_u=lf[2], filter_level_v=lf[3],
+                         tile_cols_log2=T.bit_length() - 1)
+        if cfg.cdf_update:
+            self._cdf_state = end_cdf.snapshot()
+        payload = assemble_frame(self.seq, fr,
+                                 tiles if T > 1 else tiles[0], first=False)
+        rec = (y_rec_n, u_rec_n, v_rec_n)
         return payload, rec

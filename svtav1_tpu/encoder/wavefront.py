@@ -27,7 +27,7 @@ import numpy as np
 
 from ..ops import intra
 from ..ops.intra_dir import dr_pred
-from ..ops.quant import dequantize, quantize
+from ..ops.quant import dequantize_dq, quantize_dq
 from ..ops.transforms import add_residual_clip, fwd_txfm2d, inv_txfm2d
 from ..spec import tables as tbl
 from ..spec.txfm import DCT_DCT
@@ -137,26 +137,41 @@ def _resid_bits(lev, bs: int):
     return jnp.where(nnz > 0, est, 1.0)
 
 
-@partial(jax.jit,
-         static_argnames=("bs", "tx_size", "qindex", "modes", "bd",
-                          "angle_deltas"))
+def rd_params(qindex: int, bd: int, cands, kf: bool = True):
+    """Traced RD inputs for a wavefront call: (dc, ac, lambda, mode-rate
+    table).  Passing these as arrays (not static ints) means per-frame
+    qindex changes reuse the compiled wavefront."""
+    dc, ac = tbl.qindex_to_dq(qindex, bd)
+    return (jnp.int32(dc), jnp.int32(ac), jnp.float32(_lambda(qindex)),
+            jnp.asarray(intra_mode_rate_table(cands, qindex, kf=kf)))
+
+
 def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                            modes: tuple = DEFAULT_MODES, bd: int = 8,
                            angle_deltas: tuple = (0,)):
+    cands = expand_candidates(modes, angle_deltas)
+    rd = rd_params(qindex, bd, cands, kf=True)
+    return _wavefront_impl(src, rd, bs, tx_size, modes, bd, angle_deltas)
+
+
+@partial(jax.jit,
+         static_argnames=("bs", "tx_size", "modes", "bd", "angle_deltas"))
+def _wavefront_impl(src, rd, bs: int, tx_size: int,
+                    modes: tuple = DEFAULT_MODES, bd: int = 8,
+                    angle_deltas: tuple = (0,)):
     """src [B, h, w] uint8/int32 (h, w multiples of 2*bs) →
     (cand_idx [B, bh, bw], levels [B, bh, bw, bs, bs], recon [B, h, w]).
 
     The candidate list is `expand_candidates(modes, angle_deltas)`; cand_idx
     indexes into it."""
+    dqdc, dqac, lam, mode_rate = rd
     B, h, w = src.shape
     bh, bw = h // bs, w // bs
     rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _quad_tables(bh, bw)
     D = rs_t.shape[2]
-    lam = _lambda(qindex)
     src = src.astype(jnp.int32)
     base = 1 << (bd - 1)
     cands = expand_candidates(modes, angle_deltas)
-    mode_rate = intra_mode_rate_table(cands, qindex, kf=True)
 
     ar = jnp.arange(bs)
 
@@ -234,13 +249,13 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                 pred = intra.predict(mode, f_above, f_left, f_corner)
             resid = f_src - pred
             coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, bd)
-            lev = quantize(coeff, tx_size, qindex, bd)
-            dq = dequantize(lev, tx_size, qindex, bd)
+            lev = quantize_dq(coeff, tx_size, dqdc, dqac, bd)
+            dq = dequantize_dq(lev, tx_size, dqdc, dqac, bd)
             recb = add_residual_clip(pred, inv_txfm2d(dq, tx_size, DCT_DCT,
                                                       bd), bd)
             sse = jnp.sum((f_src - recb) ** 2, axis=(-1, -2)).astype(
                 jnp.float32)
-            cost = sse + lam * (float(mode_rate[mi]) + _resid_bits(lev, bs))
+            cost = sse + lam * (mode_rate[mi] + _resid_bits(lev, bs))
             if best_cost is None:
                 best_cost = cost
                 best_mi = jnp.zeros_like(cost, jnp.int32)
@@ -291,14 +306,25 @@ def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
             levels.reshape(B, bh, bw, bs, bs), recon)
 
 
-@partial(jax.jit,
-         static_argnames=("bs", "tx_size", "qindex", "modes", "bd",
-                          "angle_deltas", "n_extra"))
 def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
                                  extra_preds, extra_rate, extra_ok,
                                  intra_ok, n_extra: int,
                                  modes: tuple = DEFAULT_MODES, bd: int = 8,
                                  angle_deltas: tuple = (0,)):
+    cands = expand_candidates(modes, angle_deltas)
+    rd = rd_params(qindex, bd, cands, kf=False)
+    return _wavefront_mixed_impl(src, rd, extra_preds, extra_rate,
+                                 extra_ok, intra_ok, bs, tx_size, n_extra,
+                                 modes, bd, angle_deltas)
+
+
+@partial(jax.jit,
+         static_argnames=("bs", "tx_size", "modes", "bd", "angle_deltas",
+                          "n_extra"))
+def _wavefront_mixed_impl(src, rd, extra_preds, extra_rate, extra_ok,
+                          intra_ok, bs: int, tx_size: int, n_extra: int,
+                          modes: tuple = DEFAULT_MODES, bd: int = 8,
+                          angle_deltas: tuple = (0,)):
     """Wavefront mode decision with precomputed non-intra candidates
     (the inter path of the EncDec loop, EbProductCodingLoop.c MDSx inter
     classes → here dense candidate tensors evaluated alongside intra).
@@ -309,16 +335,15 @@ def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
     intra_ok [B, bh, bw] bool.  Returns (cand_idx, levels, recon) where
     cand_idx < n_intra selects the intra candidate list and cand_idx >=
     n_intra selects extra candidate (cand_idx - n_intra)."""
+    dqdc, dqac, lam, mode_rate = rd
     B, h, w = src.shape
     bh, bw = h // bs, w // bs
     rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _quad_tables(bh, bw)
     D = rs_t.shape[2]
-    lam = _lambda(qindex)
     src = src.astype(jnp.int32)
     base = 1 << (bd - 1)
     cands = expand_candidates(modes, angle_deltas)
     n_intra = len(cands)
-    mode_rate = intra_mode_rate_table(cands, qindex, kf=False)
     BIG = jnp.float32(3e38)
 
     ar = jnp.arange(bs)
@@ -336,8 +361,8 @@ def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
     def txq(pred, f_src):
         resid = f_src - pred
         coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, bd)
-        lev = quantize(coeff, tx_size, qindex, bd)
-        dq = dequantize(lev, tx_size, qindex, bd)
+        lev = quantize_dq(coeff, tx_size, dqdc, dqac, bd)
+        dq = dequantize_dq(lev, tx_size, dqdc, dqac, bd)
         recb = add_residual_clip(pred, inv_txfm2d(dq, tx_size, DCT_DCT, bd),
                                  bd)
         sse = jnp.sum((f_src - recb) ** 2, axis=(-1, -2)).astype(jnp.float32)
@@ -400,7 +425,7 @@ def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
             else:
                 pred = intra.predict(mode, f_above, f_left, f_corner)
             lev, recb, sse, resid_bits = txq(pred, f_src)
-            cost = sse + lam * (float(mode_rate[mi]) + resid_bits)
+            cost = sse + lam * (mode_rate[mi] + resid_bits)
             cost = jnp.where(f_iok, cost, BIG)
             if best_cost is None:
                 best_cost = cost

@@ -1,0 +1,373 @@
+"""Two-depth partition wavefront: 32x32 NONE vs SPLIT into 4x 16x16,
+decided by closed-loop RD inside the same z-order scan.
+
+TPU mapping of the reference's partition-depth decision
+(EbProductCodingLoop.c:1687-10465 PD0/PD1 square-depth path, collapsed to
+two depths): each scan sub-step evaluates BOTH the whole-block candidates
+and the four z-order sub-blocks (with true neighbor recon threaded through
+a local buffer), then keeps the cheaper tree.  Sub-blocks use the
+no-extended-edge intra mode set (Z1/Z3 directional excluded) so their
+prediction never depends on above-right/below-left availability — the
+decision stays bit-exact for any partition the decoder sees.
+
+Used for luma (bs=32) and chroma (bs=16, partition forced by luma).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import intra
+from ..ops.intra_dir import dr_pred
+from ..ops.quant import dequantize_dq, quantize_dq
+from ..ops.transforms import add_residual_clip, fwd_txfm2d, inv_txfm2d
+from ..spec.txfm import DCT_DCT
+from ..spec import tables as tbl
+from .wavefront import (DIRECTIONAL, _lambda, _quad_tables, _resid_bits,
+                        expand_candidates, intra_mode_rate_table)
+
+# sub-block intra modes: everything that never reads the above-right /
+# below-left extended edges (Z2 directional keeps above/left/corner only)
+SUB_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED,
+             intra.D135_PRED, intra.D113_PRED, intra.D157_PRED,
+             intra.SMOOTH_PRED, intra.SMOOTH_V_PRED, intra.SMOOTH_H_PRED,
+             intra.PAETH_PRED)
+
+
+def _cdf_sym_bits(table, sym):
+    hi = 32768 if sym == 0 else int(table[sym - 1])
+    return -np.log2(max(hi - int(table[sym]), 1) / 32768.0)
+
+
+def partition_bits(qindex: int, bs: int):
+    """(bits_none, bits_split_total) at the top block size from the default
+    partition CDFs (split total includes the four leaf NONE symbols)."""
+    from ..spec.cdf import CdfContext
+    from ..ec.modes import PARTITION_NONE, PARTITION_SPLIT
+    cdf = CdfContext(qindex)
+    bsl_top = {32: 2, 16: 1}[bs]
+    t_top = cdf.partition_cdf[bsl_top * 4]
+    t_leaf = cdf.partition_cdf[(bsl_top - 1) * 4]
+    b_none = _cdf_sym_bits(t_top, PARTITION_NONE)
+    b_split = _cdf_sym_bits(t_top, PARTITION_SPLIT) + \
+        4 * _cdf_sym_bits(t_leaf, PARTITION_NONE)
+    return float(b_none), float(b_split)
+
+
+def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
+                                qindex: int, extra_top, extra_rate_top,
+                                extra_sub, extra_rate_sub, extra_ok_top,
+                                extra_ok_sub, intra_ok_top, intra_ok_sub,
+                                force_part, n_extra: int,
+                                modes_top: tuple, modes_sub: tuple,
+                                bd: int = 8, angle_deltas: tuple = (0,),
+                                kf: bool = True):
+    """Public wrapper: computes the per-qindex RD inputs host-side and
+    passes them traced so per-frame q changes reuse the compilation."""
+    cands_top = expand_candidates(modes_top, angle_deltas)
+    cands_sub = expand_candidates(modes_sub, (0,))
+    dc, ac = tbl.qindex_to_dq(qindex, bd)
+    bn, bsp = partition_bits(qindex, bs)
+    rd = (jnp.int32(dc), jnp.int32(ac), jnp.float32(_lambda(qindex)),
+          jnp.asarray(intra_mode_rate_table(cands_top, qindex, kf=kf)),
+          jnp.asarray(intra_mode_rate_table(cands_sub, qindex, kf=kf)),
+          jnp.float32(bn), jnp.float32(bsp))
+    return _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
+                                extra_sub, extra_rate_sub, extra_ok_top,
+                                extra_ok_sub, intra_ok_top, intra_ok_sub,
+                                force_part, bs, tx_top, tx_sub, n_extra,
+                                modes_top, modes_sub, bd, angle_deltas, kf)
+
+
+@partial(jax.jit,
+         static_argnames=("bs", "tx_top", "tx_sub", "modes_top",
+                          "modes_sub", "bd", "angle_deltas", "n_extra",
+                          "kf"))
+def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
+                         extra_sub, extra_rate_sub, extra_ok_top,
+                         extra_ok_sub, intra_ok_top, intra_ok_sub,
+                         force_part, bs: int, tx_top: int, tx_sub: int,
+                         n_extra: int, modes_top: tuple, modes_sub: tuple,
+                         bd: int = 8, angle_deltas: tuple = (0,),
+                         kf: bool = True):
+    """src [B,h,w] → (part [B,bh,bw] int32, mi_top [B,bh,bw],
+    lev_top [B,bh,bw,bs,bs], mi_sub [B,bh,bw,4], lev_sub [B,bh,bw,4,h2,h2],
+    recon [B,h,w]).
+
+    extra_top [B,nE,bh,bw,bs,bs] / extra_sub [B,nE,bh,bw,4,h2,h2]:
+    precomputed non-intra candidate predictions (z-order subs), gated by
+    extra_ok_top [B,nE,bh,bw] / extra_ok_sub [B,nE,bh,bw,4] with rates
+    extra_rate_top [B,nE,bh,bw] / extra_rate_sub [B,nE,bh,bw,4];
+    intra_ok_top [B,bh,bw] / intra_ok_sub [B,bh,bw,4] gate intra;
+    force_part [B,bh,bw]: -1 free, 0 NONE, 1 SPLIT.
+    Candidate index space: [0..n_intra) intra then extras."""
+    dqdc, dqac, lam, rate_top, rate_sub, bits_none, bits_split = rd
+    B, h, w = src.shape
+    hs = bs // 2
+    bh, bw = h // bs, w // bs
+    rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _quad_tables(bh, bw)
+    D = rs_t.shape[2]
+    src = src.astype(jnp.int32)
+    base = 1 << (bd - 1)
+    cands_top = expand_candidates(modes_top, angle_deltas)
+    cands_sub = expand_candidates(modes_sub, (0,))
+    # tx-type signaling overhead (DCT symbol) per coded luma txb
+    txb_top = 0.0 if (bs >= 32 and kf) else 1.0
+    txb_sub = 2.4 if kf else 1.0
+    BIG = jnp.float32(3e38)
+
+    ar = jnp.arange(bs)
+    ar2 = jnp.arange(hs)
+
+    def gather_rows(plane, y, x, n):
+        a = jnp.arange(n)
+        return plane[:, y[:, None], x[:, None] + a[None, :]]
+
+    def gather_cols(plane, y, x, n):
+        a = jnp.arange(n)
+        return plane[:, y[:, None] + a[None, :], x[:, None]]
+
+    def gather_blocks(plane, y, x, n):
+        a = jnp.arange(n)
+        return plane[:, y[:, None, None] + a[None, :, None],
+                     x[:, None, None] + a[None, None, :]]
+
+    def txq(pred, f_src, tx_size, n, tx_bits):
+        resid = f_src - pred
+        coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, bd)
+        lev = quantize_dq(coeff, tx_size, dqdc, dqac, bd)
+        dq = dequantize_dq(lev, tx_size, dqdc, dqac, bd)
+        recb = add_residual_clip(pred, inv_txfm2d(dq, tx_size, DCT_DCT, bd),
+                                 bd)
+        sse = jnp.sum((f_src - recb) ** 2, axis=(-1, -2)).astype(jnp.float32)
+        rb = _resid_bits(lev, n)
+        nnz = jnp.sum(lev != 0, axis=(-1, -2))
+        rb = rb + jnp.where(nnz > 0, tx_bits, 0.0)
+        return lev, recb, sse, rb
+
+    def eval_set(f_src, f_above, f_left, f_corner, f_ha, f_hl, cands,
+                 mode_rates, n, tx_size, tx_bits, f_iok, extras):
+        """Best candidate over intra list + extras.
+        extras: list of (pred [B*D,n,n], rate [B*D], ok [B*D])."""
+        best = None
+        for mi, (mode, delta) in enumerate(cands):
+            if mode == intra.DC_PRED:
+                p = [intra.dc_pred(f_above, f_left, a, l, bd)
+                     for a, l in ((True, True), (True, False),
+                                  (False, True), (False, False))]
+                haa = f_ha[:, None, None]
+                hll = f_hl[:, None, None]
+                pred = jnp.where(haa & hll, p[0],
+                                 jnp.where(haa, p[1],
+                                           jnp.where(hll, p[2], p[3])))
+            elif mode in DIRECTIONAL and (delta != 0 or mode not in
+                                          (intra.V_PRED, intra.H_PRED)):
+                ext_a = jnp.concatenate([f_above, f_above[..., -1:]
+                                         .repeat(n, -1)], -1)
+                ext_l = jnp.concatenate([f_left, f_left[..., -1:]
+                                         .repeat(n, -1)], -1)
+                pred = dr_pred(mode, delta, ext_a, ext_l, f_corner, n, bd)
+            else:
+                pred = intra.predict(mode, f_above, f_left, f_corner)
+            lev, recb, sse, rb = txq(pred, f_src, tx_size, n, tx_bits)
+            cost = jnp.where(f_iok,
+                             sse + lam * (mode_rates[mi] + rb), BIG)
+            pack = (cost, jnp.full_like(cost.astype(jnp.int32), mi), lev,
+                    recb)
+            best = pack if best is None else _take(best, pack)
+        n_intra = len(cands)
+        for e, (pred, rate, ok) in enumerate(extras):
+            lev, recb, sse, rb = txq(pred, f_src, tx_size, n, tx_bits)
+            cost = jnp.where(ok, sse + lam * (rate + rb), BIG)
+            pack = (cost, jnp.full_like(cost.astype(jnp.int32), n_intra + e),
+                    lev, recb)
+            best = _take(best, pack)
+        return best
+
+    def _take(best, pack):
+        take = pack[0] < best[0]
+        t3 = take[:, None, None]
+        return (jnp.where(take, pack[0], best[0]),
+                jnp.where(take, pack[1], best[1]),
+                jnp.where(t3, pack[2], best[2]),
+                jnp.where(t3, pack[3], best[3]))
+
+    def sub_step(recon, rs, cs, valid, has_tr, has_bl):
+        y = rs * bs
+        x = cs * bs
+        ha = (rs > 0)[None, :, None]
+        hl = (cs > 0)[None, :, None]
+
+        above_real = gather_rows(recon, jnp.maximum(y - 1, 0), x, bs)
+        left_real = gather_cols(recon, y, jnp.maximum(x - 1, 0), bs)
+        corner_real = recon[:, jnp.maximum(y - 1, 0), jnp.maximum(x - 1, 0)]
+        above = jnp.where(ha, above_real,
+                          jnp.where(hl, left_real[..., 0:1], base - 1))
+        left = jnp.where(hl, left_real,
+                         jnp.where(ha, above_real[..., 0:1], base + 1))
+        ha1, hl1 = ha[..., 0], hl[..., 0]
+        corner = jnp.where(ha1 & hl1, corner_real,
+                           jnp.where(ha1, above_real[..., 0],
+                                     jnp.where(hl1, left_real[..., 0],
+                                               base)))
+        tr_real = gather_rows(recon, jnp.maximum(y - 1, 0),
+                              jnp.minimum(x + bs, w - bs), bs)
+        bl_real = gather_cols(recon, jnp.minimum(y + bs, h - bs),
+                              jnp.maximum(x - 1, 0), bs)
+        htr = has_tr[None, :, None]
+        hbl = has_bl[None, :, None]
+        above_ext = jnp.concatenate(
+            [above, jnp.where(htr, tr_real, above[..., -1:])], axis=-1)
+        left_ext = jnp.concatenate(
+            [left, jnp.where(hbl, bl_real, left[..., -1:])], axis=-1)
+
+        blocks = gather_blocks(src, y, x, bs)
+
+        fb = lambda t: t.reshape((B * D,) + t.shape[2:])
+        f_src = fb(blocks)
+        f_above, f_left, f_corner = map(fb, (above, left, corner))
+        f_above_ext, f_left_ext = map(fb, (above_ext, left_ext))
+        f_ha = jnp.broadcast_to(ha1, (B, D)).reshape(-1)
+        f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
+        f_iok = intra_ok_top[:, rs, cs].reshape(-1)
+
+        # ---- whole-block (NONE) evaluation, incl. extended-edge modes ---
+        best_top = None
+        for mi, (mode, delta) in enumerate(cands_top):
+            if mode == intra.DC_PRED:
+                p = [intra.dc_pred(f_above, f_left, a, l, bd)
+                     for a, l in ((True, True), (True, False),
+                                  (False, True), (False, False))]
+                haa = f_ha[:, None, None]
+                hll = f_hl[:, None, None]
+                pred = jnp.where(haa & hll, p[0],
+                                 jnp.where(haa, p[1],
+                                           jnp.where(hll, p[2], p[3])))
+            elif mode in DIRECTIONAL and (delta != 0 or mode not in
+                                          (intra.V_PRED, intra.H_PRED)):
+                pred = dr_pred(mode, delta, f_above_ext, f_left_ext,
+                               f_corner, bs, bd)
+            else:
+                pred = intra.predict(mode, f_above, f_left, f_corner)
+            lev, recb, sse, rb = txq(pred, f_src, tx_top, bs, txb_top)
+            cost = jnp.where(f_iok,
+                             sse + lam * (rate_top[mi] + rb), BIG)
+            pack = (cost, jnp.full_like(cost.astype(jnp.int32), mi), lev,
+                    recb)
+            best_top = pack if best_top is None else _take(best_top, pack)
+        n_i_top = len(cands_top)
+        for e in range(n_extra):
+            pred = fb(extra_top[:, e][:, rs, cs])
+            rate = extra_rate_top[:, e][:, rs, cs].reshape(-1)
+            ok = extra_ok_top[:, e][:, rs, cs].reshape(-1)
+            lev, recb, sse, rb = txq(pred, f_src, tx_top, bs, txb_top)
+            cost = jnp.where(ok, sse + lam * (rate + rb), BIG)
+            pack = (cost, jnp.full_like(cost.astype(jnp.int32),
+                                        n_i_top + e), lev, recb)
+            best_top = _take(best_top, pack)
+
+        # ---- SPLIT evaluation: 4 z-order sub-blocks ---------------------
+        loc = jnp.zeros((B * D, bs, bs), jnp.int32)
+        sub_cost = 0.0
+        sub_mi, sub_lev = [], []
+        for z, (sr, sc) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            oy, ox = sr * hs, sc * hs
+            s_src = f_src[:, oy:oy + hs, ox:ox + hs]
+            # above edge
+            if sr == 0:
+                s_above_real = f_above[..., ox:ox + hs]
+                s_ha = f_ha
+            else:
+                s_above_real = loc[:, oy - 1, ox:ox + hs]
+                s_ha = jnp.ones_like(f_ha)
+            if sc == 0:
+                s_left_real = f_left[..., oy:oy + hs]
+                s_hl = f_hl
+            else:
+                s_left_real = loc[:, oy:oy + hs, ox - 1]
+                s_hl = jnp.ones_like(f_hl)
+            # corner
+            if sr == 0 and sc == 0:
+                s_corner = f_corner
+            elif sr == 0:
+                s_corner = f_above[..., ox - 1]
+            elif sc == 0:
+                s_corner = f_left[..., oy - 1]
+            else:
+                s_corner = loc[:, oy - 1, ox - 1]
+            s_above = jnp.where(s_ha[:, None], s_above_real,
+                                jnp.where(s_hl[:, None],
+                                          s_left_real[..., 0:1], base - 1))
+            s_left = jnp.where(s_hl[:, None], s_left_real,
+                               jnp.where(s_ha[:, None],
+                                         s_above_real[..., 0:1], base + 1))
+            s_corner = jnp.where(s_ha & s_hl, s_corner,
+                                 jnp.where(s_ha, s_above_real[..., 0],
+                                           jnp.where(s_hl,
+                                                     s_left_real[..., 0],
+                                                     base)))
+            extras = []
+            for e in range(n_extra):
+                pred = fb(extra_sub[:, e][:, rs, cs, z])
+                rate = extra_rate_sub[:, e][:, rs, cs, z].reshape(-1)
+                ok = extra_ok_sub[:, e][:, rs, cs, z].reshape(-1)
+                extras.append((pred, rate, ok))
+            f_iok_sub = intra_ok_sub[:, rs, cs, z].reshape(-1)
+            cost, mi, lev, recb = eval_set(
+                s_src, s_above, s_left, s_corner, s_ha, s_hl, cands_sub,
+                rate_sub, hs, tx_sub, txb_sub, f_iok_sub, extras)
+            sub_cost = sub_cost + cost
+            sub_mi.append(mi)
+            sub_lev.append(lev)
+            loc = loc.at[:, oy:oy + hs, ox:ox + hs].set(recb)
+
+        # ---- choose ----------------------------------------------------
+        cost_none = best_top[0] + lam * bits_none
+        cost_split = sub_cost + lam * bits_split
+        fp = force_part[:, rs, cs].reshape(-1)
+        split = jnp.where(fp < 0, cost_split < cost_none, fp == 1)
+        rec_final = jnp.where(split[:, None, None], loc, best_top[3])
+
+        rec_d = rec_final.reshape(B, D, bs, bs)
+        y_eff = jnp.where(valid, y, h + bs)
+        rows = y_eff[:, None, None] + ar[None, :, None]
+        colx = x[:, None, None] + ar[None, None, :]
+        recon = recon.at[:, rows, colx].set(rec_d, mode="drop")
+        return recon, (split.astype(jnp.int32).reshape(B, D),
+                       best_top[1].reshape(B, D),
+                       best_top[2].reshape(B, D, bs, bs),
+                       jnp.stack(sub_mi, -1).reshape(B, D, 4),
+                       jnp.stack(sub_lev, -3).reshape(B, D, 4, hs, hs))
+
+    def step(recon, xs):
+        rs, cs, valid, has_tr, has_bl = xs
+        outs = []
+        for z in range(4):
+            recon, o = sub_step(recon, rs[z], cs[z], valid[z], has_tr[z],
+                                has_bl[z])
+            outs.append(o)
+        return recon, tuple(jnp.stack([o[k] for o in outs], 1)
+                            for k in range(5))
+
+    recon0 = jnp.zeros((B, h, w), jnp.int32)
+    recon, (part_d, mi_d, lev_d, smi_d, slev_d) = jax.lax.scan(
+        step, recon0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
+                       jnp.asarray(valid_t), jnp.asarray(has_tr_t),
+                       jnp.asarray(has_bl_t)))
+
+    flat_idx = rs_t * bw + cs_t
+    idx = jnp.asarray(np.where(valid_t, flat_idx, bh * bw))
+
+    def undiag(d, extra_shape):
+        out = jnp.zeros((B, bh * bw) + extra_shape,
+                        d.dtype)
+        out = out.at[:, idx].set(jnp.moveaxis(d, 1, 0), mode="drop")
+        return out.reshape((B, bh, bw) + extra_shape)
+
+    return (undiag(part_d, ()), undiag(mi_d, ()),
+            undiag(lev_d, (bs, bs)), undiag(smi_d, (4,)),
+            undiag(slev_d, (4, hs, hs)), recon)

@@ -160,6 +160,13 @@ def _filter_core(px, filter_length: int, mblim: int, lim: int, thr: int):
 from functools import partial
 
 
+
+# tap window each filter length actually writes within the 14-wide strip
+# (writing the full strip back would clobber neighbors when edge spacing
+# is tighter than 14 — e.g. chroma 8-px edges under split partitions)
+_WRITE_WIN = {4: (5, 9), 6: (5, 9), 8: (4, 10), 14: (1, 13)}
+
+
 @partial(jax.jit, static_argnames=("spacing", "filter_length", "level_v",
                                    "level_h", "sharpness"))
 def deblock_plane_uniform(plane, spacing: int, filter_length: int,
@@ -175,7 +182,8 @@ def deblock_plane_uniform(plane, spacing: int, filter_length: int,
         cols = xs[:, None] + np.arange(-7, 7)[None, :]       # [E, 14]
         px = x[..., :, cols]                                 # [..., h, E, 14]
         px = _filter_core(px, filter_length, mblim, lim, thr)
-        x = x.at[..., :, cols].set(px)
+        lo, hi = _WRITE_WIN[filter_length]
+        x = x.at[..., :, cols[:, lo:hi]].set(px[..., lo:hi])
 
     if level_h > 0:
         mblim, lim, thr = thresholds(level_h, sharpness)
@@ -183,6 +191,56 @@ def deblock_plane_uniform(plane, spacing: int, filter_length: int,
         rows = ys[:, None] + np.arange(-7, 7)[None, :]
         px = jnp.swapaxes(x, -1, -2)[..., :, rows]
         px = _filter_core(px, filter_length, mblim, lim, thr)
-        x = jnp.swapaxes(jnp.swapaxes(x, -1, -2).at[..., :, rows].set(px),
+        lo, hi = _WRITE_WIN[filter_length]
+        x = jnp.swapaxes(
+            jnp.swapaxes(x, -1, -2).at[..., :, rows[:, lo:hi]].set(
+                px[..., lo:hi]), -1, -2)
+    return x
+
+
+@partial(jax.jit, static_argnames=("spacing", "filter_length", "level_v",
+                                   "level_h", "sharpness"))
+def deblock_plane_part(plane, part, spacing: int, filter_length: int,
+                       level_v: int, level_h: int, sharpness: int = 0):
+    """Partition-aware deblock: edges on the `spacing` grid always filter;
+    half-spacing edges filter only inside blocks marked split in
+    `part` [..., h//spacing, w//spacing].  Filter taps are unchanged
+    (16/32 luma TX both take the 14-tap path, 8/16 chroma the 6-tap path,
+    EbDecLF.c dec_set_lpf_parameters), so only the edge set varies."""
+    h, w = plane.shape[-2], plane.shape[-1]
+    x = jnp.asarray(plane).astype(jnp.int32)
+    part = jnp.asarray(part)
+    hs = spacing // 2
+    ys_blk = np.arange(h) // spacing
+    xs_all = np.arange(hs, w, hs)
+    on_grid = (xs_all % spacing) == 0
+    xb = xs_all // spacing
+
+    if level_v > 0:
+        mblim, lim, thr = thresholds(level_v, sharpness)
+        cols = xs_all[:, None] + np.arange(-7, 7)[None, :]
+        px = x[..., :, cols]                             # [..., h, E, 14]
+        act = (part[..., ys_blk, :][..., :, xb] == 1) | \
+            jnp.asarray(on_grid)
+        filt = _filter_core(px, filter_length, mblim, lim, thr)
+        px = jnp.where(act[..., None], filt, px)
+        lo, hi = _WRITE_WIN[filter_length]
+        x = x.at[..., :, cols[:, lo:hi]].set(px[..., lo:hi])
+
+    if level_h > 0:
+        mblim, lim, thr = thresholds(level_h, sharpness)
+        ys_all = np.arange(hs, h, hs)
+        on_grid_h = (ys_all % spacing) == 0
+        yb = ys_all // spacing
+        xs_blk = np.arange(w) // spacing
+        rows = ys_all[:, None] + np.arange(-7, 7)[None, :]
+        xt = jnp.swapaxes(x, -1, -2)                     # [..., w, h]
+        px = xt[..., :, rows]                            # [..., w, E, 14]
+        act = (jnp.swapaxes(part, -1, -2)[..., xs_blk, :][..., :, yb]
+               == 1) | jnp.asarray(on_grid_h)
+        filt = _filter_core(px, filter_length, mblim, lim, thr)
+        px = jnp.where(act[..., None], filt, px)
+        lo, hi = _WRITE_WIN[filter_length]
+        x = jnp.swapaxes(xt.at[..., :, rows[:, lo:hi]].set(px[..., lo:hi]),
                          -1, -2)
     return x

@@ -29,14 +29,18 @@ def _dqv_map(tx_size: int, dc: int, ac: int, shape):
     return m
 
 
-@partial(jax.jit, static_argnames=("tx_size", "qindex", "bd"))
-def quantize(coeffs, tx_size: int, qindex: int, bd: int = 8):
-    """Deadzone quantization of transform coefficients [..., h, w] → levels."""
-    dc, ac = tbl.qindex_to_dq(qindex, bd)
+def _dqv_traced(dc, ac, h, w):
+    """Per-position dequant map from traced dc/ac scalars."""
+    m = jnp.full((h, w), ac, jnp.int32)
+    return m.at[0, 0].set(dc)
+
+
+def quantize_dq(coeffs, tx_size: int, dc, ac, bd: int = 8):
+    """Deadzone quantization with traced dc/ac dequant steps (so per-frame
+    qindex changes don't recompile the enclosing jit)."""
     shift = tbl.tx_scale_shift(tx_size)
     h, w = coeffs.shape[-2], coeffs.shape[-1]
-    dqv = jnp.asarray(_dqv_map(tx_size, dc, ac, (h, w)))
-    # dequant reproduces (level*dqv)>>shift, so target level ≈ (|c|<<shift)/dqv
+    dqv = _dqv_traced(dc, ac, h, w)
     scaled = jnp.abs(coeffs).astype(jnp.int32) << shift
     rounding = (dqv * 48) >> 7
     level = (scaled + rounding) // dqv
@@ -44,19 +48,31 @@ def quantize(coeffs, tx_size: int, qindex: int, bd: int = 8):
     return jnp.sign(coeffs) * level
 
 
-@partial(jax.jit, static_argnames=("tx_size", "qindex", "bd"))
-def dequantize(levels, tx_size: int, qindex: int, bd: int = 8):
-    """Normative dequantization of levels [..., h, w] → coefficients."""
-    dc, ac = tbl.qindex_to_dq(qindex, bd)
+def dequantize_dq(levels, tx_size: int, dc, ac, bd: int = 8):
+    """Normative dequantization with traced dc/ac steps."""
     shift = tbl.tx_scale_shift(tx_size)
     h, w = levels.shape[-2], levels.shape[-1]
-    dqv = jnp.asarray(_dqv_map(tx_size, dc, ac, (h, w)))
+    dqv = _dqv_traced(dc, ac, h, w)
     absl = jnp.abs(levels).astype(jnp.int32)
     v = (absl * dqv) & 0xFFFFFF
     v = v >> shift
     v = jnp.sign(levels) * v
     lim = 1 << (bd + 7)
     return jnp.clip(v, -lim, lim - 1)
+
+
+@partial(jax.jit, static_argnames=("tx_size", "qindex", "bd"))
+def quantize(coeffs, tx_size: int, qindex: int, bd: int = 8):
+    """Deadzone quantization of transform coefficients [..., h, w] → levels."""
+    dc, ac = tbl.qindex_to_dq(qindex, bd)
+    return quantize_dq(coeffs, tx_size, jnp.int32(dc), jnp.int32(ac), bd)
+
+
+@partial(jax.jit, static_argnames=("tx_size", "qindex", "bd"))
+def dequantize(levels, tx_size: int, qindex: int, bd: int = 8):
+    """Normative dequantization of levels [..., h, w] → coefficients."""
+    dc, ac = tbl.qindex_to_dq(qindex, bd)
+    return dequantize_dq(levels, tx_size, jnp.int32(dc), jnp.int32(ac), bd)
 
 
 def quantize_batch(coeffs, n: int, qindex: int, bd: int = 8):

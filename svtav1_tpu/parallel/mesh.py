@@ -104,3 +104,33 @@ def sharded_pipeline_step(mesh: Mesh):
     recon, bits = step(blocks)
     recon.block_until_ready()
     return recon, bits
+
+
+def sharded_tile_encode_bytes(mesh: Mesh, n_tiles: int = None,
+                              shard: bool = True) -> bytes:
+    """Encode one key frame split into tile columns, with the tile axis
+    sharded over the mesh (or not), and return the frame payload bytes.
+
+    The certification contract (VERDICT round 1 #7): the 8-device sharded
+    encode must produce a byte-identical bitstream to the 1-device run —
+    tile columns are AV1's native independent-coding axis, so sharding
+    them needs no halo exchange and must not change a single bit."""
+    from ..encoder.intra_encoder import EncoderConfig, IntraEncoder
+
+    n_tiles = n_tiles or mesh.devices.size
+    w, h = 64 * n_tiles, 64
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(120 + 70 * np.sin((xx + yy) / 9.0) +
+                rng.randint(-25, 26, (h, w)), 0, 255).astype(np.uint8)
+    u = np.clip(120 + 30 * np.sin(xx[::2, ::2] / 30.0), 0,
+                255).astype(np.uint8)
+    v = np.clip(130 + 30 * np.cos(yy[::2, ::2] / 20.0), 0,
+                255).astype(np.uint8)
+
+    enc = IntraEncoder(EncoderConfig(w, h, qindex=100, tile_cols=n_tiles))
+    if shard:
+        flat = Mesh(mesh.devices.reshape(-1), ("tiles",))
+        enc.batch_sharding = NamedSharding(flat, P("tiles"))
+    payloads, _ = enc.encode_frames([(y, u, v)])
+    return payloads[0]

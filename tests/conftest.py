@@ -17,3 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: partition/inter wavefronts take minutes to
+# compile per shape on CPU — cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtav1")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

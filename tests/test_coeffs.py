@@ -38,6 +38,9 @@ def test_roundtrip(ts, tt, mag, update):
     dec = RangeDecoder(data)
     cdf_d = CdfContext(base_qindex=80, update=update)
     for b in blocks:
-        got = read_coeffs_txb(dec, cdf_d, h, w, ts, tt, plane_type=0,
-                              txb_skip_ctx=0, dc_sign_ctx=0)
+        got, got_tt = read_coeffs_txb(dec, cdf_d, h, w, ts, tt,
+                                      plane_type=0, txb_skip_ctx=0,
+                                      dc_sign_ctx=0)
         np.testing.assert_array_equal(got, b)
+        if b.any():
+            assert got_tt == tt

@@ -129,3 +129,43 @@ def test_inter_bitrate_gain(tmp_path):
         per = [len(enc.encode_frame(*f)[0]) for f in frames]
         sizes[name] = sum(per[1:])
     assert sizes["inter"] < 0.6 * sizes["intra"], sizes
+
+
+def test_partition_split_conformance(tmp_path):
+    """Mixed-detail content forces 32→16 splits in both I and P frames;
+    recon must stay frame-exact in dav1d (incl. split-aware deblocking)."""
+    from svtav1_tpu.encoder.intra_encoder import EncoderConfig
+    from svtav1_tpu.encoder.video_encoder import VideoEncoder
+    from svtav1_tpu.utils.ivf import IvfWriter
+
+    w, h, n = 128, 64, 3
+    rng = np.random.RandomState(9)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        detail = (rng.randint(-70, 71, (h, w)) *
+                  (((xx + 4 * t) // 32 + yy // 32) % 2))
+        yf = np.clip(120 + 60 * np.sin((xx + 4 * t) / 40.0) + detail, 0,
+                     255).astype(np.uint8)
+        uf = np.clip(120 + 30 * np.sin(xx[::2, ::2] / 30.0), 0,
+                     255).astype(np.uint8)
+        vf = np.clip(130 + 30 * np.cos(yy[::2, ::2] / 20.0), 0,
+                     255).astype(np.uint8)
+        frames.append((yf, uf, vf))
+
+    enc = VideoEncoder(EncoderConfig(w, h, qindex=100, part_search=True),
+                       keyint=64)
+    recons = []
+    with open(tmp_path / "s.ivf", "wb") as f:
+        ivf = IvfWriter(f, w, h)
+        for i, fr in enumerate(frames):
+            payload, rec = enc.encode_frame(*fr)
+            ivf.write_frame(payload, i)
+            recons.append(rec)
+        ivf.finalize()
+    decoded = _dav1d_frames(tmp_path / "s.ivf", w, h, n)
+    for i, (rec, dav) in enumerate(zip(recons, decoded)):
+        for name, mine, theirs in zip("yuv", rec, dav):
+            np.testing.assert_array_equal(
+                np.asarray(mine).astype(np.uint8), theirs,
+                err_msg=f"frame {i} plane {name}")
