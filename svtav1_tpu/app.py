@@ -11,8 +11,14 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from dataclasses import replace
 
 import numpy as np
+
+from .utils import log
+
+
+from .ops.metrics import ssim_plane
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: int = 255) -> float:
@@ -29,8 +35,18 @@ def main(argv=None) -> int:
     p.add_argument("--crf", type=int, default=None,
                    help="CRF 0-63 (maps to qindex = 4*crf, overrides -q; "
                         "key frames get the GOP quality boost)")
+    p.add_argument("--preset", type=int, default=None, metavar="M",
+                   help="speed preset 0(slow)..13(fast), reference "
+                        "EncModeConfig.c axis; explicit flags override")
     p.add_argument("--no-part-search", action="store_true",
                    help="disable the 32->16 partition RD search")
+    p.add_argument("--cdef", action="store_true",
+                   help="enable the CDEF in-loop filter (search + signal)")
+    p.add_argument("--lr", action="store_true",
+                   help="enable loop restoration (SGR search + signal)")
+    p.add_argument("--pyramid", action="store_true",
+                   help="hierarchical mini-GoP prediction structure "
+                        "(out-of-order refs + show_existing overlays)")
     p.add_argument("-n", "--frames", type=int, default=0,
                    help="max frames (0 = all)")
     p.add_argument("--keyint", type=int, default=64,
@@ -73,9 +89,34 @@ def main(argv=None) -> int:
         cfg = EncoderConfig(info.width, info.height, qindex=args.qp,
                             bit_depth=info.bit_depth,
                             cdf_update=not args.no_cdf_update,
-                            part_search=not args.no_part_search)
+                            part_search=not args.no_part_search,
+                            enable_cdef=args.cdef, enable_lr=args.lr)
+        from .encoder.presets import apply_preset, verify_settings
+        if args.preset is not None:
+            cfg = apply_preset(cfg, args.preset)
+            # explicit flags keep CLI-over-preset precedence
+            if args.no_part_search:
+                cfg = replace(cfg, part_search=False)
+            if args.cdef:
+                cfg = replace(cfg, enable_cdef=True)
+            if args.lr:
+                cfg = replace(cfg, enable_lr=True)
+            if args.no_cdf_update:
+                cfg = replace(cfg, cdf_update=False)
+        try:
+            verify_settings(cfg, keyint=args.keyint)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        log.info("app", "%dx%d bd=%d q=%d keyint=%d preset=%s",
+                 info.width, info.height, info.bit_depth, cfg.qindex,
+                 args.keyint, args.preset)
+        pyramid = args.pyramid and args.keyint > 1
         if args.keyint == 1:
             enc = IntraEncoder(cfg)      # batched all-intra path
+        elif pyramid:
+            enc = VideoEncoder(cfg, keyint=args.keyint, pyramid=True)
+            args.batch = 16              # mini-GoP lookahead granularity
         else:
             enc = VideoEncoder(cfg, keyint=args.keyint)
             args.batch = 1               # low-delay P is reference-serial
@@ -83,6 +124,7 @@ def main(argv=None) -> int:
         n = 0
         total_bytes = 0
         psnrs = []
+        ssims = []
         with open(args.output, "wb") as fout:
             ivf = IvfWriter(fout, info.width, info.height,
                             info.fps_den, info.fps_num)
@@ -104,17 +146,32 @@ def main(argv=None) -> int:
                         break
                 return batch
 
-            def finish(batch, payloads, recons):
+            src_fifo = []           # display-order sources awaiting recon
+            n_tu = [0]              # IVF frames written (TUs)
+
+            def emit(payloads, recons):
+                """Write payloads (decode order; may include overlay TUs)
+                and match display-order recons against buffered sources
+                for stats."""
                 nonlocal n, total_bytes
-                for (y, u, v), payload, (ry, ru, rv) in zip(batch, payloads,
-                                                            recons):
-                    ivf.write_frame(payload, n)
+                for payload in payloads:
+                    ivf.write_frame(payload, n_tu[0])
+                    n_tu[0] += 1
                     total_bytes += len(payload)
+                for (ry, ru, rv) in recons:
+                    y, u, v = src_fifo.pop(0)
                     if args.stat_report:
                         peak = (1 << info.bit_depth) - 1
                         psnrs.append((psnr(y, ry, peak), psnr(u, ru, peak),
                                       psnr(v, rv, peak)))
+                        ssims.append((ssim_plane(y, ry, peak),
+                                      ssim_plane(u, ru, peak),
+                                      ssim_plane(v, rv, peak)))
                     n += 1
+
+            def finish(batch, payloads, recons):
+                src_fifo.extend(batch)
+                emit(payloads, recons)
 
             n_read = [0]
             pipelined = hasattr(enc, "device_encode")
@@ -136,6 +193,8 @@ def main(argv=None) -> int:
             if pending is not None:
                 pbatch, pdev = pending
                 finish(pbatch, *enc.host_finish(pdev))
+            if hasattr(enc, "flush"):
+                emit(*enc.flush())
             ivf.finalize()
         dt = time.perf_counter() - t0
         fps = n / dt if dt else 0
@@ -145,6 +204,8 @@ def main(argv=None) -> int:
         if psnrs:
             m = np.mean(psnrs, axis=0)
             print(f"PSNR Y {m[0]:.2f} U {m[1]:.2f} V {m[2]:.2f}")
+            s = np.mean(ssims, axis=0)
+            print(f"SSIM Y {s[0]:.4f} U {s[1]:.4f} V {s[2]:.4f}")
     return 0
 
 

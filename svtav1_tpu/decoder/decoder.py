@@ -80,6 +80,13 @@ class FrameInfo:
     disable_frame_end_update_cdf: bool = True
     tile_cols_log2: int = 0
     context_update_tile_id: int = 0
+    showable: bool = True
+    show_existing_idx: int = -1       # >= 0: show_existing_frame header
+    lr_frame_types: tuple = (0, 0, 0)   # 0 NONE 1 WIENER 2 SGR 3 SWITCH
+    cdef_damping: int = 3
+    cdef_bits: int = 0
+    cdef_y_strengths: tuple = ((0, 0),)     # (pri, sec) decoded (3→4)
+    cdef_uv_strengths: tuple = ((0, 0),)
 
 
 class _TileState:
@@ -177,12 +184,15 @@ class Decoder:
 
     def _parse_frame_header(self, r: BitReader, seq: SeqInfo) -> FrameInfo:
         fr = FrameInfo()
-        _need(r.bit() == 0, "show_existing_frame unsupported")
+        if r.bit():                   # show_existing_frame
+            fr.show_existing_idx = r.f(3)
+            return fr
         fr.frame_type = r.f(2)
         _need(fr.frame_type in (0, 1), "intra-only / switch frames")
         is_inter = fr.frame_type == 1
         fr.show_frame = bool(r.bit())
-        _need(fr.show_frame, "no-show frames")
+        if not fr.show_frame:
+            fr.showable = bool(r.bit())
         if is_inter:
             _need(r.bit() == 0, "error_resilient_mode")
         fr.disable_cdf_update = bool(r.bit())
@@ -250,8 +260,31 @@ class Decoder:
             fr.filter_level_v = r.f(6)
         fr.lf_sharpness = r.f(3)
         _need(r.bit() == 0, "loop_filter_delta")
-        _need(not seq.enable_cdef and not seq.enable_restoration,
-              "cdef/restoration")
+        if seq.enable_cdef:
+            # cdef_params (spec §5.9.19); sec value 3 decodes to 4
+            fr.cdef_damping = r.f(2) + 3
+            fr.cdef_bits = r.f(2)
+            ys, uvs = [], []
+            for _ in range(1 << fr.cdef_bits):
+                yp = r.f(4)
+                ysec = r.f(2)
+                up = r.f(4)
+                usec = r.f(2)
+                ys.append((yp, ysec + (ysec == 3)))
+                uvs.append((up, usec + (usec == 3)))
+            fr.cdef_y_strengths = tuple(ys)
+            fr.cdef_uv_strengths = tuple(uvs)
+        if seq.enable_restoration:
+            # lr_params (spec §5.9.20); Remap_Lr_Type coded order
+            remap = {0: 0, 1: 3, 2: 1, 3: 2}
+            types = [remap[r.f(2)] for _ in range(3)]
+            uses_lr = any(types)
+            uses_chroma_lr = bool(types[1] or types[2])
+            if uses_lr:
+                _need(r.bit() == 0, "64px LR units only")
+                if uses_chroma_lr:
+                    _need(r.bit() == 1, "32px chroma LR units only")
+            fr.lr_frame_types = tuple(types)
         fr.tx_mode_select = bool(r.bit())
         _need(not fr.tx_mode_select, "TX_MODE_LARGEST subset")
         if is_inter:
@@ -282,6 +315,17 @@ class Decoder:
         self._y = np.zeros((h, w), np.int32)
         self._u = np.zeros((h // 2, w // 2), np.int32)
         self._v = np.zeros((h // 2, w // 2), np.int32)
+        self._cdef_idx = np.zeros((h // 64, w // 64), np.int32)
+        self._cdef_read = np.zeros((h // 64, w // 64), bool)
+        self._skip8 = np.ones((h // 8, w // 8), bool)
+        sbh, sbw = h // 64, w // 64
+        self._lr_units = [
+            {"type": np.zeros((sbh, sbw), np.int32),
+             "eps": np.zeros((sbh, sbw), np.int32),
+             "xqd": np.zeros((sbh, sbw, 2), np.int32),
+             "taps_v": np.zeros((sbh, sbw, 3), np.int32),
+             "taps_h": np.zeros((sbh, sbw, 3), np.int32)}
+            for _ in range(3)]
 
         n_tiles = 1 << fr.tile_cols_log2
         if n_tiles == 1:
@@ -319,10 +363,24 @@ class Decoder:
         st = _TileState(h // 4, tw // 4, tw, h)
         st.x_off = x_off
         st.y_rec, st.u_rec, st.v_rec = self._y, self._u, self._v
+        from ..ec import lr_syntax as LRS
+        lr_ref = [LRS.default_ref_state() for _ in range(3)]
 
         for sb_r in range(h // 64):
             st.reset_sb_row()
             for sb_c in range(tw // 64):
+                if any(t for t in fr.lr_frame_types):
+                    sbc_f = sb_c + x_off // 64
+                    for p in range(3):
+                        ut, eps, xqd, tv, th = LRS.read_lr_unit(
+                            dec, cdf, fr.lr_frame_types[p], lr_ref[p],
+                            p > 0)
+                        u = self._lr_units[p]
+                        u["type"][sb_r, sbc_f] = ut
+                        u["eps"][sb_r, sbc_f] = eps
+                        u["xqd"][sb_r, sbc_f] = xqd
+                        u["taps_v"][sb_r, sbc_f] = tv
+                        u["taps_h"][sb_r, sbc_f] = th
                 mi_c0 = sb_c * 16
                 ctx = self._part_ctx(st.above_part[mi_c0], st.left_part[0],
                                      3)
@@ -364,6 +422,8 @@ class Decoder:
                             st.left_part[lo:lo + 4] = 28
                     else:
                         raise DecodeError("unsupported partition type")
+        self._skip8[:, x_off // 8:(x_off + tw) // 8] = \
+            st.skip_grid[::2, ::2].astype(bool)
         return cdf
 
     def _decode_block(self, dec, cdf, st, mi_r, mi_c, bs, br, bc, seq, fr,
@@ -378,6 +438,18 @@ class Decoder:
         t = cdf.skip_cdfs[a_skip + l_skip]
         skip = dec.decode_symbol(t)
         cdf.update(t, skip)
+
+        if seq.enable_cdef and not skip:
+            # cdef_idx: literal at the first non-skip block per 64x64
+            # (spec read_cdef; EbDecParseBlock.c read path)
+            sbr = mi_r // 16
+            sbc = (mi_c + getattr(st, "x_off", 0) // 4) // 16
+            if not self._cdef_read[sbr, sbc]:
+                val = 0
+                for _ in range(fr.cdef_bits):
+                    val = (val << 1) | dec.decode_bool(0x4000)
+                self._cdef_idx[sbr, sbc] = val
+                self._cdef_read[sbr, sbc] = True
 
         y_mode = 0
         angle_delta = 0
@@ -616,15 +688,38 @@ class Decoder:
                     pm = self._part_map
                     y = np.asarray(deblock_plane_part(
                         y, pm, 32, 14, fr.filter_level[0],
-                        fr.filter_level[1], fr.lf_sharpness))
+                        fr.filter_level[1], fr.lf_sharpness,
+                        bd=self.seq.bit_depth))
                     u = np.asarray(deblock_plane_part(
                         u, pm, 16, 6, fr.filter_level_u,
-                        fr.filter_level_u, fr.lf_sharpness))
+                        fr.filter_level_u, fr.lf_sharpness,
+                        bd=self.seq.bit_depth))
                     v = np.asarray(deblock_plane_part(
                         v, pm, 16, 6, fr.filter_level_v,
-                        fr.filter_level_v, fr.lf_sharpness))
+                        fr.filter_level_v, fr.lf_sharpness,
+                        bd=self.seq.bit_depth))
+                db_planes = (y.copy(), u.copy(), v.copy())
+                if self.seq.enable_cdef and any(
+                        p or s for p, s in (fr.cdef_y_strengths +
+                                            fr.cdef_uv_strengths)):
+                    from ..ops.cdef import cdef_apply_params
+                    params = {"damping": fr.cdef_damping,
+                              "bits": fr.cdef_bits,
+                              "y_strengths": fr.cdef_y_strengths,
+                              "uv_strengths": fr.cdef_uv_strengths,
+                              "idx_map": self._cdef_idx}
+                    y, u, v = (np.asarray(p) for p in cdef_apply_params(
+                        (y, u, v), self._skip8, params,
+                        self.seq.bit_depth))
+                if any(fr.lr_frame_types):
+                    from ..ops.lr_frame import lr_apply_frame
+                    infos = [self._lr_units[p] if fr.lr_frame_types[p]
+                             else None for p in range(3)]
+                    y, u, v = lr_apply_frame((y, u, v), db_planes, infos,
+                                             self.seq.bit_depth)
                 dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
-                frame = (y.astype(dt), u.astype(dt), v.astype(dt))
+                if fr.show_frame:
+                    frame = (y.astype(dt), u.astype(dt), v.astype(dt))
                 refresh = (0xFF if fr.frame_type == 0
                            else fr.refresh_frame_flags)
                 ref_entry = (y.astype(np.int32), u.astype(np.int32),
@@ -638,6 +733,15 @@ class Decoder:
                     if refresh & (1 << slot):
                         self.dpb[slot] = ref_entry
                         self.dpb_cdf[slot] = end_cdf
-            elif obu_type in (OBU_FRAME_HEADER, OBU_TILE_GROUP):
-                raise NotImplementedError("separate frame header OBUs")
+            elif obu_type == OBU_FRAME_HEADER:
+                _need(self.seq is not None, "header before sequence header")
+                fr = self._parse_frame_header(BitReader(payload), self.seq)
+                _need(fr.show_existing_idx >= 0,
+                      "separate non-show_existing frame header OBUs")
+                ent = self.dpb[fr.show_existing_idx]
+                _need(ent is not None, "show_existing of empty slot")
+                dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+                frame = tuple(p.astype(dt) for p in ent)
+            elif obu_type == OBU_TILE_GROUP:
+                raise NotImplementedError("separate tile group OBUs")
         return frame

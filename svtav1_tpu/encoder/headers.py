@@ -12,7 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..utils.bitio import BitWriter
-from ..utils.obu import (OBU_FRAME, OBU_SEQUENCE_HEADER,
+from ..utils.obu import (OBU_FRAME, OBU_FRAME_HEADER, OBU_SEQUENCE_HEADER,
                          OBU_TEMPORAL_DELIMITER, wrap_obu)
 
 
@@ -63,8 +63,16 @@ class FrameConfig:
     lf_sharpness: int = 0
     tile_cols_log2: int = 0         # uniform tile columns (2^k)
     context_update_tile_id: int = 0
+    # CDEF (written only when seq.enable_cdef)
+    cdef_damping: int = 3
+    cdef_bits: int = 0
+    cdef_y_strengths: tuple = ((0, 0),)     # (pri, sec) per preset
+    cdef_uv_strengths: tuple = ((0, 0),)
     # inter-frame fields (low-delay P defaults: all refs → DPB slot 0,
     # refresh slot 0, CDFs reset per frame via PRIMARY_REF_NONE)
+    # loop restoration per-plane frame types (0 NONE, 1 WIENER,
+    # 2 SGRPROJ, 3 SWITCHABLE); written only when seq.enable_restoration
+    lr_frame_types: tuple = (0, 0, 0)
     error_resilient: bool = False
     primary_ref_frame: int = 7      # PRIMARY_REF_NONE
     refresh_frame_flags: int = 0x01
@@ -145,7 +153,7 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
     w.f(fr.frame_type, 2)
     w.bit(1 if fr.show_frame else 0)
     if not fr.show_frame:
-        raise NotImplementedError("no-show frames")
+        w.bit(1)                    # showable_frame (show_existing later)
     if fr.frame_type not in (0, 1):
         raise NotImplementedError("intra-only / switch frames")
     if is_inter:
@@ -213,12 +221,34 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
     w.f(fr.lf_sharpness, 3)
     w.bit(0)                        # loop_filter_delta_enabled
 
-    # cdef_params: skipped (enable_cdef=0)
+    # cdef_params (spec §5.9.19; sec strength 4 codes as 3)
     if seq.enable_cdef:
-        raise NotImplementedError
-    # lr_params: skipped (enable_restoration=0)
+        w.f(fr.cdef_damping - 3, 2)
+        w.f(fr.cdef_bits, 2)
+        for i in range(1 << fr.cdef_bits):
+            yp, ys = fr.cdef_y_strengths[i]
+            up, us = fr.cdef_uv_strengths[i]
+            w.f(yp, 4)
+            w.f(min(ys, 3), 2)
+            w.f(up, 4)
+            w.f(min(us, 3), 2)
+    # lr_params (spec §5.9.20): per-plane frame restoration type +
+    # unit sizes.  Unit size fixed at 64 luma / 32 chroma (lr_unit_shift
+    # = 0, lr_uv_shift = 1) — one unit per superblock.
     if seq.enable_restoration:
-        raise NotImplementedError
+        uses_lr = False
+        uses_chroma_lr = False
+        for p, t in enumerate(fr.lr_frame_types):
+            # Remap_Lr_Type coded order: NONE, SWITCHABLE, WIENER, SGRPROJ
+            w.f({0: 0, 1: 2, 2: 3, 3: 1}[t], 2)
+            if t != 0:
+                uses_lr = True
+                if p > 0:
+                    uses_chroma_lr = True
+        if uses_lr:
+            w.bit(0)                # lr_unit_shift = 0 → 64px luma units
+            if uses_chroma_lr:
+                w.bit(1)            # lr_uv_shift → 32px chroma units
 
     # read_tx_mode
     w.bit(1 if fr.tx_mode_select else 0)
@@ -310,3 +340,16 @@ def assemble_frame(seq: SequenceConfig, fr: FrameConfig,
 def assemble_key_frame(seq: SequenceConfig, fr: FrameConfig,
                        tile_payload: bytes, first: bool = True) -> bytes:
     return assemble_frame(seq, fr, tile_payload, first)
+
+
+def assemble_show_existing(slot: int) -> bytes:
+    """TD + OBU_FRAME_HEADER displaying DPB slot `slot`
+    (show_existing_frame=1, spec §5.9.2; reference packetization emits
+    these for overlay/alt-ref display, EbPacketizationProcess.c)."""
+    w = BitWriter()
+    w.bit(1)                        # show_existing_frame
+    w.f(slot, 3)                    # frame_to_show_map_idx
+    w.bit(1)                        # trailing_bits: standalone
+    w.byte_align()                  # OBU_FRAME_HEADER ends 1 + zeros
+    return (wrap_obu(OBU_TEMPORAL_DELIMITER, b"") +
+            wrap_obu(OBU_FRAME_HEADER, w.data()))

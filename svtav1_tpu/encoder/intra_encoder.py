@@ -59,6 +59,9 @@ class EncoderConfig:
     angle_deltas: tuple = (0,)  # e.g. (-2, 0, 2) widens directional search
     part_search: bool = True    # 32x32 NONE vs SPLIT(16x16) RD decision
     tile_cols: int = 1          # power-of-two uniform tile columns
+    enable_cdef: bool = False   # CDEF search + in-loop filter + signaling
+    enable_lr: bool = False     # loop restoration (SGR search + signaling)
+    tx_search: bool = True      # tx-type RD on 16x16 intra luma leaves
 
 
 def _lambda(qindex: int) -> float:
@@ -77,8 +80,13 @@ class IntraEncoder:
             raise NotImplementedError(
                 "tile columns need SB-aligned equal widths and the "
                 "partition (general) coding path")
+        if (cfg.enable_cdef or cfg.enable_lr) and not cfg.part_search:
+            raise NotImplementedError(
+                "CDEF/LR ride the partition coding path (part_search=True)")
         self.cfg = cfg
-        self.seq = SequenceConfig(cfg.width, cfg.height, cfg.bit_depth)
+        self.seq = SequenceConfig(cfg.width, cfg.height, cfg.bit_depth,
+                                  enable_cdef=cfg.enable_cdef,
+                                  enable_restoration=cfg.enable_lr)
         self._first = True
 
     # ------------------------------------------------------------------ #
@@ -101,7 +109,7 @@ class IntraEncoder:
         vb = np.stack([f[2] for f in frames])
         bd = cfg.bit_depth
         if cfg.part_search:
-            return self._device_encode_part(yb, ub, vb)
+            return self._device_encode_part(yb, ub, vb, frames)
         y_mi, y_lev, y_rec = encode_plane_wavefront(
             yb, BLK, TX_32X32, cfg.qindex, CAND_MODES, bd,
             tuple(cfg.angle_deltas))
@@ -111,12 +119,15 @@ class IntraEncoder:
             vb, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd)
         lf = self.lf_levels()
         if lf[0] or lf[1]:
-            y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1])
-            u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2])
-            v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3])
+            y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1],
+                                          bd=bd)
+            u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2],
+                                          bd=bd)
+            v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3],
+                                          bd=bd)
         return len(frames), y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec
 
-    def _device_encode_part(self, yb, ub, vb):
+    def _device_encode_part(self, yb, ub, vb, frames):
         """Partition-search device stage (32 NONE vs SPLIT 16).  Tile
         columns ride the batch axis: [T*B, h, w/T] slices encode
         independently — exactly the tile semantics (availability stops at
@@ -155,19 +166,19 @@ class IntraEncoder:
         ones = jnp.ones((B, bh, bw), bool)
         ones4 = jnp.ones((B, bh, bw, 4), bool)
         free = jnp.full((B, bh, bw), -1, jnp.int32)
-        part, y_mi, y_lev, y_smi, y_slev, y_rec = \
+        part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec = \
             encode_plane_wavefront_part(
                 jnp.asarray(yb), BLK, TX_32X32, TX_16X16, cfg.qindex,
                 dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
                 ones, ones4, free, 0, CAND_MODES, SUB_MODES, bd,
-                tuple(cfg.angle_deltas), True)
-        _, u_mi, u_lev, u_smi, u_slev, u_rec = \
+                tuple(cfg.angle_deltas), True, cfg.tx_search)
+        _, u_mi, u_lev, u_smi, u_slev, _, u_rec = \
             encode_plane_wavefront_part(
                 jnp.asarray(ub), CBLK, TX_16X16, TX_8X8, cfg.qindex,
                 dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
                 ones, ones4, part, 0, (intra.DC_PRED,), (intra.DC_PRED,),
                 bd, (0,), True)
-        _, v_mi, v_lev, v_smi, v_slev, v_rec = \
+        _, v_mi, v_lev, v_smi, v_slev, _, v_rec = \
             encode_plane_wavefront_part(
                 jnp.asarray(vb), CBLK, TX_16X16, TX_8X8, cfg.qindex,
                 dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
@@ -187,13 +198,15 @@ class IntraEncoder:
             part_f = part
         lf = self.lf_levels()
         if lf[0] or lf[1]:
-            y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0], lf[1])
+            y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0],
+                                       lf[1], bd=bd)
             u_rec = deblock_plane_part(u_rec, part_f, CBLK, 6, lf[2],
-                                       lf[2])
+                                       lf[2], bd=bd)
             v_rec = deblock_plane_part(v_rec, part_f, CBLK, 6, lf[3],
-                                       lf[3])
+                                       lf[3], bd=bd)
         return ("part", yb.shape[0] // T, part, y_mi, y_lev, y_smi, y_slev,
-                u_lev, u_slev, v_lev, v_slev, y_rec, u_rec, v_rec)
+                u_lev, u_slev, v_lev, v_slev, y_stx, y_rec, u_rec, v_rec,
+                frames)
 
     def _host_finish_part(self, dev):
         from .tile_codec import TileCoder
@@ -201,43 +214,89 @@ class IntraEncoder:
 
         cfg = self.cfg
         (_, n, part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
-         v_slev, y_rec, u_rec, v_rec) = dev
+         v_slev, y_stx, y_rec, u_rec, v_rec, frames) = dev
         arrs = [np.asarray(a) for a in
                 (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
-                 v_slev, y_rec, u_rec, v_rec)]
+                 v_slev, y_stx, y_rec, u_rec, v_rec)]
         (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev, v_slev,
-         y_rec, u_rec, v_rec) = arrs
+         y_stx, y_rec, u_rec, v_rec) = arrs
         cands = expand_candidates(CAND_MODES, tuple(cfg.angle_deltas))
         cands_sub = expand_candidates(SUB_MODES, (0,))
         T = cfg.tile_cols
         tw = cfg.width // T
         tlog = T.bit_length() - 1
+        sbw_t = tw // SB
         payloads, recons = [], []
         for b in range(n):
+            cdef_kw, cdef_params = {}, None
+            rec_b = (y_rec[b], u_rec[b], v_rec[b])
+            if cfg.enable_cdef:
+                from ..ops.cdef import cdef_apply_params
+                from .cdef_search import (build_skip8,
+                                          cdef_frame_config_fields,
+                                          cdef_search_frame)
+                skip8 = np.concatenate(
+                    [build_skip8(part[t * n + b], y_lev[t * n + b],
+                                 u_lev[t * n + b], v_lev[t * n + b],
+                                 y_slev[t * n + b], u_slev[t * n + b],
+                                 v_slev[t * n + b]) for t in range(T)],
+                    axis=1)
+                src = tuple(np.asarray(p, np.int32) for p in frames[b])
+                cdef_params = cdef_search_frame(
+                    src, rec_b, skip8, cfg.qindex, _lambda(cfg.qindex),
+                    cfg.bit_depth)
+                db_b = rec_b
+                rec_b = tuple(np.asarray(p) for p in cdef_apply_params(
+                    rec_b, skip8, cdef_params, cfg.bit_depth))
+                cdef_kw = cdef_frame_config_fields(cdef_params)
+            lr_types, lr_infos = (0, 0, 0), None
+            if cfg.enable_lr:
+                from ..ops.lr_frame import lr_apply_frame
+                from .lr_search import lr_search_frame
+                if not cfg.enable_cdef:
+                    db_b = rec_b
+                src = tuple(np.asarray(p, np.int32) for p in frames[b])
+                lr_types, lr_infos = lr_search_frame(
+                    src, rec_b, _lambda(cfg.qindex), cfg.bit_depth)
+                if any(lr_types):
+                    rec_b = lr_apply_frame(rec_b, db_b, lr_infos,
+                                           cfg.bit_depth)
             tiles = []
             for t in range(T):
                 i = t * n + b         # tile-major batch layout
                 tc = TileCoder(tw, cfg.height, cfg.qindex,
                                cfg.cdf_update, kf=True,
                                mi_col_off=t * tw // 4,
-                               frame_mi_cols=cfg.width // 4)
+                               frame_mi_cols=cfg.width // 4,
+                               cdef_bits=(cdef_params["bits"]
+                                          if cdef_params else 0),
+                               cdef_idx=(cdef_params["idx_map"]
+                                         [:, t * sbw_t:(t + 1) * sbw_t]
+                                         if cdef_params else None))
+                if any(lr_types):
+                    sl = slice(t * sbw_t, (t + 1) * sbw_t)
+                    tc.set_lr(lr_types, [
+                        ({k: v[:, sl] for k, v in u.items()}
+                         if u is not None else None)
+                        for u in lr_infos])
                 tile, _ = tc.encode(part[i], y_mi[i], y_lev[i], u_lev[i],
                                     v_lev[i], y_smi[i], y_slev[i],
                                     u_slev[i], v_slev[i], None, None,
                                     cands, cands_sub, len(cands),
-                                    len(cands_sub))
+                                    len(cands_sub), stx_sub=y_stx[i])
                 tiles.append(tile)
             lfv = self.lf_levels()
             fr = FrameConfig(base_q_idx=cfg.qindex,
                              disable_cdf_update=not cfg.cdf_update,
                              filter_level=(lfv[0], lfv[1]),
                              filter_level_u=lfv[2], filter_level_v=lfv[3],
-                             tile_cols_log2=tlog)
+                             tile_cols_log2=tlog,
+                             lr_frame_types=lr_types, **cdef_kw)
             payloads.append(assemble_key_frame(
                 self.seq, fr, tiles if T > 1 else tiles[0],
                 first=self._first))
             self._first = False
-            recons.append((y_rec[b], u_rec[b], v_rec[b]))
+            recons.append(rec_b)
         return payloads, recons
 
     def host_finish(self, dev):
@@ -286,8 +345,8 @@ class IntraEncoder:
     def lf_levels(self):
         """(y_vert, y_horz, u, v) filter levels (heuristic from qindex,
         similar in spirit to the reference's RDO'd pick)."""
-        if self.cfg.lf_level == 0 or self.cfg.bit_depth != 8:
-            return (0, 0, 0, 0)   # highbd deblock lands next round
+        if self.cfg.lf_level == 0:
+            return (0, 0, 0, 0)
         if self.cfg.lf_level > 0:
             l = min(self.cfg.lf_level, 63)
         else:

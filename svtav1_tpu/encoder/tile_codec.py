@@ -19,6 +19,7 @@ from ..spec import mv as MV
 from ..spec.cdf import CdfContext
 from ..spec.txfm import TX_8X8, TX_16X16, TX_32X32, DCT_DCT
 from .tile_inter import choose_inter_mode
+from .wavefront2 import TX_SEARCH_TYPES
 
 SB = 64
 
@@ -31,7 +32,8 @@ class TileCoder:
 
     def __init__(self, width, height, qindex, cdf_update, kf: bool,
                  cdf_init=None, mi_col_off: int = 0,
-                 frame_mi_cols: int = None):
+                 frame_mi_cols: int = None, cdef_bits: int = 0,
+                 cdef_idx=None):
         self.w, self.h = width, height
         self.kf = kf
         self.mi_col_off = mi_col_off
@@ -49,10 +51,45 @@ class TileCoder:
                           2: np.zeros(width // 8, np.uint8)}
         self.above_av = {p: np.zeros_like(self.above_cul[p], bool)
                          for p in range(3)}
+        # cdef_idx [sb_rows, sb_cols] (tile-local): literal emitted at the
+        # first non-skip block of each 64x64 (EbEntropyCoding.c:3968
+        # write_cdef); None → frame has no CDEF syntax
+        self.cdef_idx = cdef_idx
+        self.cdef_bits = cdef_bits
+        self._cdef_pending = False
+        # loop restoration: lr_types per plane (frame restoration type),
+        # lr_units per plane = dict of [sb_rows, sb_cols(,k)] arrays
+        # (type/eps/xqd/taps_v/taps_h), tile-local SB coords.  Coded at
+        # SB start (spec decode_tile read_lr; EbEntropyCoding.c:4150)
+        self.lr_types = (0, 0, 0)
+        self.lr_units = None
+        self._lr_ref = None
+
+    def set_lr(self, lr_types, lr_units):
+        from ..ec.lr_syntax import default_ref_state
+        self.lr_types = tuple(lr_types)
+        self.lr_units = lr_units
+        self._lr_ref = [default_ref_state() for _ in range(3)]
+
+    def _write_lr_sb(self, sb_r, sb_c):
+        if self.lr_units is None:
+            return
+        from ..ec import lr_syntax as LRS
+        for p in range(3):
+            if self.lr_types[p] == LRS.RESTORE_NONE:
+                continue
+            u = self.lr_units[p]
+            unit = {"eps": u["eps"][sb_r, sb_c],
+                    "xqd": u["xqd"][sb_r, sb_c],
+                    "taps_v": list(u["taps_v"][sb_r, sb_c]),
+                    "taps_h": list(u["taps_h"][sb_r, sb_c])}
+            LRS.write_lr_unit(self.enc, self.cdf, self.lr_types[p],
+                              int(u["type"][sb_r, sb_c]), unit,
+                              self._lr_ref[p], p > 0)
 
     def encode(self, part, mi_top, lev_top_y, lev_top_u, lev_top_v,
                mi_sub, lev_sub_y, lev_sub_u, lev_sub_v, mv_top, mv_sub,
-               cands_top, cands_sub, n_i_top, n_i_sub):
+               cands_top, cands_sub, n_i_top, n_i_sub, stx_sub=None):
         """part [bh,bw] 0/1; *_top at 32-block granularity; *_sub indexed
         [bh,bw,4(z),...]; mv_top [bh,bw,2]; mv_sub [bh,bw,4,2].  For key
         frames the inter params may be None."""
@@ -66,6 +103,8 @@ class TileCoder:
             self.left_av = {p: np.zeros_like(self.left_cul[p], bool)
                             for p in range(3)}
             for sb_c in range(sb_cols):
+                self._cdef_pending = self.cdef_idx is not None
+                self._write_lr_sb(sb_r, sb_c)
                 ctx = M.partition_plane_ctx(int(self.above_part[sb_c * 16]),
                                             int(self.left_part[0]), SB)
                 M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
@@ -74,14 +113,15 @@ class TileCoder:
                     self._code_32(br, bc, qr, part, mi_top, lev_top_y,
                                   lev_top_u, lev_top_v, mi_sub, lev_sub_y,
                                   lev_sub_u, lev_sub_v, mv_top, mv_sub,
-                                  cands_top, cands_sub, n_i_top, n_i_sub)
+                                  cands_top, cands_sub, n_i_top, n_i_sub,
+                                  stx_sub)
         return enc.done(), cdf
 
     # ---------------------------------------------------------------- #
 
     def _code_32(self, br, bc, qr, part, mi_top, ly, lu, lv, mi_sub, sly,
                  slu, slv, mv_top, mv_sub, cands_top, cands_sub, n_i_top,
-                 n_i_sub):
+                 n_i_sub, stx_sub=None):
         enc, cdf = self.enc, self.cdf
         mi_r, mi_c = br * 8, bc * 8
         ctx = M.partition_plane_ctx(int(self.above_part[mi_c]),
@@ -107,9 +147,12 @@ class TileCoder:
             M.write_partition(enc, cdf, lctx, M.PARTITION_NONE, 16)
             idx = int(mi_sub[br, bc, z])
             mv = (mv_sub[br, bc, z] if mv_sub is not None else None)
+            stx = (TX_SEARCH_TYPES[int(stx_sub[br, bc, z])]
+                   if stx_sub is not None else DCT_DCT)
             self._code_block(smr, smc, 16, idx, n_i_sub, cands_sub,
                              sly[br, bc, z], slu[br, bc, z],
-                             slv[br, bc, z], mv, TX_16X16, TX_8X8)
+                             slv[br, bc, z], mv, TX_16X16, TX_8X8,
+                             y_tx_type=stx)
             a, l = M.partition_ctx_value(16, 16)
             self.above_part[smc:smc + 4] = a
             self.left_part[qr * 8 + sr * 4:qr * 8 + sr * 4 + 4] = l
@@ -117,7 +160,7 @@ class TileCoder:
     # ---------------------------------------------------------------- #
 
     def _code_block(self, mi_r, mi_c, bs, idx, n_intra, cands, y_lev,
-                    u_lev, v_lev, mv, tx_y, tx_uv):
+                    u_lev, v_lev, mv, tx_y, tx_uv, y_tx_type=DCT_DCT):
         enc, cdf, grid = self.enc, self.cdf, self.grid
         bw4 = bs // 4
         have_above, have_left = mi_r > 0, mi_c > 0
@@ -127,6 +170,12 @@ class TileCoder:
         a_skip = int(self.skip_grid[mi_r - 1, mi_c]) if have_above else 0
         l_skip = int(self.skip_grid[mi_r, mi_c - 1]) if have_left else 0
         M.write_skip(enc, cdf, a_skip + l_skip, skip)
+
+        if self._cdef_pending and not skip:
+            v = int(self.cdef_idx[mi_r // 16, mi_c // 16])
+            for i in range(self.cdef_bits - 1, -1, -1):
+                enc.encode_bool((v >> i) & 1, 0x4000)
+            self._cdef_pending = False
 
         y_mode = 0
         if self.kf:
@@ -179,11 +228,13 @@ class TileCoder:
                 grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, mode)
 
         self._code_residuals(mi_r, mi_c, bs, skip, is_inter, y_mode,
-                             y_lev, u_lev, v_lev, tx_y, tx_uv)
+                             y_lev, u_lev, v_lev, tx_y, tx_uv,
+                             y_tx_type if not is_inter else DCT_DCT)
         self.skip_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = skip
 
     def _code_residuals(self, mi_r, mi_c, bs, skip, is_inter, y_mode,
-                        y_lev, u_lev, v_lev, tx_y, tx_uv):
+                        y_lev, u_lev, v_lev, tx_y, tx_uv,
+                        y_tx_type=DCT_DCT):
         enc, cdf = self.enc, self.cdf
         sb_mi_r = mi_r % 16
         for plane, lev, txs in ((0, y_lev, tx_y), (1, u_lev, tx_uv),
@@ -216,7 +267,8 @@ class TileCoder:
                         s = int(cl) >> 6
                         signs += 1 if s == 2 else (-1 if s == 1 else 0)
             dctx = 2 if signs > 0 else (1 if signs < 0 else 0)
-            cul = write_coeffs_txb(enc, cdf, lev, txs, DCT_DCT,
+            cul = write_coeffs_txb(enc, cdf, lev, txs,
+                                   y_tx_type if plane == 0 else DCT_DCT,
                                    min(plane, 1), tctx, dctx,
                                    is_inter=is_inter,
                                    intra_mode=y_mode)

@@ -17,7 +17,8 @@ import numpy as np
 
 from ..ops.deblock import deblock_plane_uniform
 from ..ops.mc import MV_PRED_PAD, pad_plane, predict_inter_blocks
-from .headers import FrameConfig, SequenceConfig, assemble_frame
+from .headers import (FrameConfig, SequenceConfig, assemble_frame,
+                      assemble_show_existing)
 from .intra_encoder import CAND_MODES, EncoderConfig, IntraEncoder
 from .me import motion_estimate
 from .tile_inter import encode_inter_tile
@@ -35,7 +36,8 @@ P_INTRA_MODES = CAND_MODES
 class VideoEncoder:
     """Low-delay I/P encoder.  keyint=1 degenerates to all-intra."""
 
-    def __init__(self, cfg: EncoderConfig, keyint: int = 64):
+    def __init__(self, cfg: EncoderConfig, keyint: int = 64,
+                 pyramid: bool = False, gop: int = 16):
         self.cfg = cfg
         self.keyint = max(1, keyint)
         # key frames get a quality boost (the reference's CRF kf_qindex
@@ -50,13 +52,30 @@ class VideoEncoder:
         self._first = True
         self._dpb = None              # (y, u, v) post-filter recon
         self._cdf_state = None        # frame-end CDFs (primary-ref chain)
+        # hierarchical mini-GoP state (reference prediction structures,
+        # EbPredictionStructure.c:77-161 / EbPictureDecisionProcess.c
+        # mini-GoP construction, mapped to single-ref P pyramid frames
+        # displayed via show_existing overlays)
+        self.pyramid = pyramid and self.keyint > 1
+        self.gop = min(16, max(1, gop))
+        self._buf = []                # pending source frames (lookahead)
+        self._slots = {}              # DPB slot -> (y, u, v) recon
+        self._slot_cdf = {}           # DPB slot -> frame-end CDF snapshot
+        self._anchor_slot = 0
 
     # -------------------------------------------------------------- #
 
     def encode_frames(self, frames):
         """Sequential low-delay encode (each P frame references the
         previous recon, so the chain is serial — the batch API exists for
-        CLI symmetry with the all-intra encoder)."""
+        CLI symmetry with the all-intra encoder).  In pyramid mode frames
+        buffer until a mini-GoP is complete; call flush() at EOS.
+        Returns (payloads in decode order, recons in display order) —
+        in pyramid mode payloads include show_existing overlay TUs, so
+        len(payloads) > len(recons)."""
+        if self.pyramid:
+            self._buf.extend(frames)
+            return self._drain(final=False)
         payloads, recons = [], []
         for f in frames:
             p, r = self.encode_frame(*f)
@@ -64,42 +83,167 @@ class VideoEncoder:
             recons.append(r)
         return payloads, recons
 
+    def flush(self):
+        """Encode whatever is still buffered (pyramid tail)."""
+        if not self.pyramid:
+            return [], []
+        return self._drain(final=True)
+
+    # ---------------- hierarchical mini-GoP scheduler ---------------- #
+
+    def _drain(self, final: bool):
+        payloads, recons = [], []
+        while self._buf:
+            if self._idx % self.keyint == 0:
+                f = self._buf.pop(0)
+                ps, rs = self.intra.encode_frames([f])
+                rec = tuple(np.asarray(p) for p in rs[0])
+                self._slots = {0: rec}
+                self._slot_cdf = {}
+                self._anchor_slot = 0
+                self._idx += 1
+                payloads += ps
+                recons.append(rs[0])
+                continue
+            till_kf = self.keyint - (self._idx % self.keyint)
+            target = min(self.gop, till_kf)
+            avail = len(self._buf)
+            if avail < target and not final:
+                break
+            n = min(target, avail)
+            if n <= 0:
+                break
+            g = 1 << (n.bit_length() - 1)      # largest pow2 <= n
+            gf = [self._buf.pop(0) for _ in range(g)]
+            ps, rs = self._encode_gop(gf)
+            payloads += ps
+            recons += rs
+        return payloads, recons
+
+    def _layer_q(self, layer: int) -> int:
+        """Per-layer qindex scaling (the reference's hierarchical-layer
+        q offsets, EbRateControlProcess.c CRF qindex per temporal
+        layer): anchors below base q, top layers above."""
+        mult = (0.85, 0.95, 1.0, 1.06, 1.12)[min(layer, 4)]
+        return max(1, min(255, int(round(self.cfg.qindex * mult))))
+
+    def _pick_ref(self, y, cand_slots):
+        """Choose the reference slot with the lowest decimated-luma SAD
+        against the source (frame-level single-ref selection; the
+        reference picks per-block among LAST/ALT via MD)."""
+        if len(cand_slots) == 1:
+            return cand_slots[0]
+        src = np.asarray(y, np.int32)[::4, ::4]
+        best, best_s = None, None
+        for s in cand_slots:
+            ref = np.asarray(self._slots[s][0], np.int32)[::4, ::4]
+            sad = int(np.abs(src - ref).sum())
+            if best_s is None or sad < best_s:
+                best, best_s = s, sad
+        return best
+
+    def _encode_ref_frame(self, frame, cand_slots, q, refresh_slot,
+                          show):
+        y, u, v = frame
+        slot = self._pick_ref(y, cand_slots)
+        hdr = dict(show_frame=show,
+                   refresh_frame_flags=1 << refresh_slot,
+                   ref_frame_idx=(slot,) * 7)
+        payload, rec, snap = self._encode_p(
+            y, u, v, ref=self._slots[slot], qindex=q,
+            cdf_init=self._slot_cdf.get(slot), hdr_extra=hdr)
+        rec = tuple(np.asarray(p) for p in rec)
+        self._slots[refresh_slot] = rec
+        self._slot_cdf[refresh_slot] = snap
+        return payload, rec
+
+    def _encode_gop(self, gframes):
+        """One mini-GoP: anchor at the far end references the previous
+        anchor; interior frames bisect recursively, each referencing
+        its interval's two anchors (nearest by SAD).  Interior frames
+        are coded no-show and displayed via show_existing overlays in
+        display order (reference: overlay pictures + prediction
+        structure, EbPictureDecisionProcess.c)."""
+        G = len(gframes)
+        lo = self._anchor_slot
+        hi = 1 - lo if lo in (0, 1) else 0
+        out_p, out_r = [], [None] * G
+        if G == 1:
+            p, rec = self._encode_ref_frame(gframes[0], [lo],
+                                            self._layer_q(0), hi, True)
+            self._anchor_slot = hi
+            self._idx += 1
+            return [p], [rec]
+        p, rec = self._encode_ref_frame(gframes[-1], [lo],
+                                        self._layer_q(0), hi, False)
+        out_p.append(p)
+        out_r[G - 1] = rec
+        self._bisect(gframes, 0, lo, G, hi, 0, out_p, out_r)
+        out_p.append(assemble_show_existing(hi))
+        self._anchor_slot = hi
+        self._idx += G
+        return out_p, out_r
+
+    def _bisect(self, gframes, lo_i, lo_slot, hi_i, hi_slot, depth,
+                out_p, out_r):
+        if hi_i - lo_i <= 1:
+            return
+        mid = (lo_i + hi_i) // 2
+        slot = 2 + depth
+        p, rec = self._encode_ref_frame(gframes[mid - 1],
+                                        [lo_slot, hi_slot],
+                                        self._layer_q(depth + 1), slot,
+                                        False)
+        out_p.append(p)
+        out_r[mid - 1] = rec
+        self._bisect(gframes, lo_i, lo_slot, mid, slot, depth + 1,
+                     out_p, out_r)
+        out_p.append(assemble_show_existing(slot))
+        self._bisect(gframes, mid, slot, hi_i, hi_slot, depth + 1,
+                     out_p, out_r)
+
     def encode_frame(self, y, u, v):
         if self._idx % self.keyint == 0 or self._dpb is None:
             payloads, recons = self.intra.encode_frames([(y, u, v)])
             payload, rec = payloads[0], recons[0]
             self._cdf_state = None    # key frames reset the CDF chain
         else:
-            payload, rec = self._encode_p(y, u, v)
+            payload, rec, _ = self._encode_p(y, u, v)
         self._dpb = tuple(np.asarray(p) for p in rec)
         self._idx += 1
         return payload, rec
 
-    def _p_lf_levels(self):
+    def _p_lf_levels(self, q=None):
         """Deblock levels from the P-frame qindex (the intra encoder's
         heuristic but at the inter quantizer)."""
         cfg = self.cfg
-        if cfg.lf_level == 0 or cfg.bit_depth != 8:
+        if q is None:
+            q = cfg.qindex
+        if cfg.lf_level == 0:
             return (0, 0, 0, 0)
         if cfg.lf_level > 0:
             l = min(cfg.lf_level, 63)
         else:
-            q = cfg.qindex
             l = max(0, min(63, (q * q // 1100) + q // 12 - 2))
         lc = max(0, l * 3 // 4)
         return (l, l, lc, lc)
 
     # -------------------------------------------------------------- #
 
-    def _encode_p(self, y, u, v):
+    def _encode_p(self, y, u, v, ref=None, qindex=None,
+                  cdf_init="chain", hdr_extra=None):
         if self.cfg.part_search:
-            return self._encode_p_part(y, u, v)
+            return self._encode_p_part(y, u, v, ref, qindex, cdf_init,
+                                       hdr_extra)
         cfg = self.cfg
+        q = cfg.qindex if qindex is None else qindex
+        chain = cdf_init == "chain"
+        cdf0 = self._cdf_state if chain else cdf_init
         bd = cfg.bit_depth
         h, w = y.shape
         bh, bw = h // BLK, w // BLK
         N = bh * bw
-        ry, ru, rv = self._dpb
+        ry, ru, rv = self._dpb if ref is None else ref
 
         yb = jnp.asarray(y)[None].astype(jnp.int32)
         ryp = pad_plane(jnp.asarray(ry)[None].astype(jnp.int32))
@@ -129,7 +273,7 @@ class VideoEncoder:
         intra_ok = jnp.ones((1, bh, bw), bool)
 
         y_mi, y_lev, y_rec = encode_plane_wavefront_mixed(
-            yb, BLK, TX_32X32, cfg.qindex, extra, extra_rate, ok, intra_ok,
+            yb, BLK, TX_32X32, q, extra, extra_rate, ok, intra_ok,
             2, P_INTRA_MODES, bd, tuple(cfg.angle_deltas))
 
         cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
@@ -146,18 +290,21 @@ class VideoEncoder:
         c_rate = jnp.zeros((1, 1, bh, bw), jnp.float32)
         u_mi, u_lev, u_rec = encode_plane_wavefront_mixed(
             jnp.asarray(u)[None].astype(jnp.int32), CBLK, TX_16X16,
-            cfg.qindex, pu.reshape(1, 1, bh, bw, CBLK, CBLK), c_rate, c_ok,
+            q, pu.reshape(1, 1, bh, bw, CBLK, CBLK), c_rate, c_ok,
             ~is_inter, 1, (0,), bd)     # intra candidate list: DC only
         v_mi, v_lev, v_rec = encode_plane_wavefront_mixed(
             jnp.asarray(v)[None].astype(jnp.int32), CBLK, TX_16X16,
-            cfg.qindex, pv.reshape(1, 1, bh, bw, CBLK, CBLK), c_rate, c_ok,
+            q, pv.reshape(1, 1, bh, bw, CBLK, CBLK), c_rate, c_ok,
             ~is_inter, 1, (0,), bd)
 
-        lf = self._p_lf_levels()
+        lf = self._p_lf_levels(q)
         if lf[0] or lf[1]:
-            y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1])
-            u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2])
-            v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3])
+            y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1],
+                                          bd=bd)
+            u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2],
+                                          bd=bd)
+            v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3],
+                                          bd=bd)
 
         y_mi = np.asarray(y_mi)[0]
         y_lev = np.asarray(y_lev)[0]
@@ -166,40 +313,51 @@ class VideoEncoder:
         mv_np = np.asarray(mv_final)[0]
 
         tile, end_cdf = encode_inter_tile(
-            w, h, cfg.qindex, cfg.cdf_update, y_mi, y_lev, u_lev, v_lev,
-            mv_np, cands, n_intra, cdf_init=self._cdf_state)
-        primary_ref = 0 if self._cdf_state is not None else 7
-        fr = FrameConfig(frame_type=1, base_q_idx=cfg.qindex,
+            w, h, q, cfg.cdf_update, y_mi, y_lev, u_lev, v_lev,
+            mv_np, cands, n_intra, cdf_init=cdf0)
+        primary_ref = 0 if cdf0 is not None else 7
+        fr = FrameConfig(frame_type=1, base_q_idx=q,
                          disable_cdf_update=not cfg.cdf_update,
                          disable_frame_end_update_cdf=not cfg.cdf_update,
                          primary_ref_frame=primary_ref,
                          filter_level=(lf[0], lf[1]),
-                         filter_level_u=lf[2], filter_level_v=lf[3])
-        if cfg.cdf_update:
-            self._cdf_state = end_cdf.snapshot()
+                         filter_level_u=lf[2], filter_level_v=lf[3],
+                         **(hdr_extra or {}))
+        snap = end_cdf.snapshot() if cfg.cdf_update else None
+        if chain and cfg.cdf_update:
+            self._cdf_state = snap
         payload = assemble_frame(self.seq, fr, tile, first=False)
         rec = (np.asarray(y_rec)[0], np.asarray(u_rec)[0],
                np.asarray(v_rec)[0])
-        return payload, rec
+        return payload, rec, snap
 
 
     # -------------------------------------------------------------- #
 
-    def _encode_p_part(self, y, u, v):
+    def _encode_p_part(self, y, u, v, ref=None, qindex=None,
+                       cdf_init="chain", hdr_extra=None):
         """P frame with the 32-vs-16 partition decision: separate ME at
         both block sizes, inter candidates at both depths of the
-        two-depth wavefront, chroma partition forced by luma."""
+        two-depth wavefront, chroma partition forced by luma.
+
+        ref/qindex/cdf_init/hdr_extra parameterize the frame for the
+        hierarchical scheduler (reference-slot recon, per-layer q, CDF
+        chain source, header overrides); defaults keep low-delay
+        semantics (previous frame, cfg.qindex, self-chained CDFs)."""
         from ..spec.txfm import TX_8X8
         from .tile_codec import TileCoder
         from .wavefront2 import SUB_MODES, encode_plane_wavefront_part
         from .wavefront import expand_candidates
 
         cfg = self.cfg
+        q = cfg.qindex if qindex is None else qindex
+        chain = cdf_init == "chain"
+        cdf0 = self._cdf_state if chain else cdf_init
         bd = cfg.bit_depth
         h, w = y.shape
         bh, bw = h // BLK, w // BLK
         N = bh * bw
-        ry, ru, rv = self._dpb
+        ry, ru, rv = self._dpb if ref is None else ref
 
         ryp = pad_plane(jnp.asarray(ry)[None].astype(jnp.int32))
         rup = pad_plane(jnp.asarray(ru)[None].astype(jnp.int32))
@@ -279,12 +437,12 @@ class VideoEncoder:
         ok_sub = jnp.ones((T, 2, bh, bw_t, 4), bool)
         free = jnp.full((T, bh, bw_t), -1, jnp.int32)
 
-        part, y_mi, y_lev, y_smi, y_slev, y_rec = \
+        part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec = \
             encode_plane_wavefront_part(
-                src_t, BLK, TX_32X32, TX_16X16, cfg.qindex,
+                src_t, BLK, TX_32X32, TX_16X16, q,
                 extra_top_t, rate_top_t, extra_sub_t, rate_sub_t, ok_top,
                 ok_sub, ones, ones4, free, 2, P_INTRA_MODES, SUB_MODES, bd,
-                tuple(cfg.angle_deltas), False)
+                tuple(cfg.angle_deltas), False, cfg.tx_search)
 
         cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
         cands_sub = expand_candidates(SUB_MODES, (0,))
@@ -323,66 +481,114 @@ class VideoEncoder:
         def chroma_pass(plane, pt, ps):
             return encode_plane_wavefront_part(
                 tstack(jnp.asarray(plane)[None].astype(jnp.int32), 2),
-                CBLK, TX_16X16, TX_8X8, cfg.qindex,
+                CBLK, TX_16X16, TX_8X8, q,
                 tstack(pt.reshape(1, 1, bh, bw, CBLK, CBLK), 3), c_rate,
                 tstack(ps.reshape(1, 1, bh, bw, 4, 8, 8), 3), c_rate_s,
                 c_ok_top, c_ok_sub, ~top_inter, ~sub_inter, part, 1,
                 (0,), (0,), bd, (0,), False)
 
-        _, u_mi, u_lev, u_smi, u_slev, u_rec = chroma_pass(u, pu_t, pu_s)
-        _, v_mi, v_lev, v_smi, v_slev, v_rec = chroma_pass(v, pv_t, pv_s)
+        _, u_mi, u_lev, u_smi, u_slev, _, u_rec = chroma_pass(u, pu_t, pu_s)
+        _, v_mi, v_lev, v_smi, v_slev, _, v_rec = chroma_pass(v, pv_t, pv_s)
 
         # reassemble frame planes/maps for (cross-tile) deblocking
         part_f = tunstack(part, 2)
         y_rec = tunstack(y_rec, 2)
         u_rec = tunstack(u_rec, 2)
         v_rec = tunstack(v_rec, 2)
-        lf = self._p_lf_levels()
+        lf = self._p_lf_levels(q)
         if lf[0] or lf[1]:
             from ..ops.deblock import deblock_plane_part
             y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0],
-                                       lf[1])
+                                       lf[1], bd=bd)
             u_rec = deblock_plane_part(u_rec, part_f, CBLK, 6, lf[2],
-                                       lf[2])
+                                       lf[2], bd=bd)
             v_rec = deblock_plane_part(v_rec, part_f, CBLK, 6, lf[3],
-                                       lf[3])
+                                       lf[3], bd=bd)
 
         arrs = [np.asarray(a) for a in
                 (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
-                 v_slev, mv_top_f, mv_sub_f)]
+                 v_slev, mv_top_f, mv_sub_f, y_stx)]
         (part_n, y_mi_n, y_lev_n, y_smi_n, y_slev_n, u_lev_n, u_slev_n,
-         v_lev_n, v_slev_n, mv_t_n, mv_s_n) = arrs
+         v_lev_n, v_slev_n, mv_t_n, mv_s_n, y_stx_n) = arrs
         y_rec_n = np.asarray(y_rec)[0]
         u_rec_n = np.asarray(u_rec)[0]
         v_rec_n = np.asarray(v_rec)[0]
 
+        cdef_kw, cdef_params = {}, None
+        db_planes = (y_rec_n, u_rec_n, v_rec_n)
+        if cfg.enable_cdef:
+            from ..ops.cdef import cdef_apply_params
+            from .cdef_search import (build_skip8,
+                                      cdef_frame_config_fields,
+                                      cdef_search_frame)
+            from .intra_encoder import _lambda
+            skip8 = np.concatenate(
+                [build_skip8(part_n[t], y_lev_n[t], u_lev_n[t],
+                             v_lev_n[t], y_slev_n[t], u_slev_n[t],
+                             v_slev_n[t]) for t in range(T)], axis=1)
+            src = (np.asarray(y, np.int32), np.asarray(u, np.int32),
+                   np.asarray(v, np.int32))
+            cdef_params = cdef_search_frame(
+                src, (y_rec_n, u_rec_n, v_rec_n), skip8, q,
+                _lambda(q), bd)
+            y_rec_n, u_rec_n, v_rec_n = (
+                np.asarray(p) for p in cdef_apply_params(
+                    (y_rec_n, u_rec_n, v_rec_n), skip8, cdef_params, bd))
+            cdef_kw = cdef_frame_config_fields(cdef_params)
+        lr_types, lr_infos = (0, 0, 0), None
+        if cfg.enable_lr:
+            from ..ops.lr_frame import lr_apply_frame
+            from .intra_encoder import _lambda
+            from .lr_search import lr_search_frame
+            src = (np.asarray(y, np.int32), np.asarray(u, np.int32),
+                   np.asarray(v, np.int32))
+            lr_types, lr_infos = lr_search_frame(
+                src, (y_rec_n, u_rec_n, v_rec_n), _lambda(q), bd)
+            if any(lr_types):
+                y_rec_n, u_rec_n, v_rec_n = lr_apply_frame(
+                    (y_rec_n, u_rec_n, v_rec_n), db_planes, lr_infos, bd)
+
         tw_px = w // T
+        sbw_t = tw_px // 64
         tiles = []
         end_cdf = None
         for t in range(T):
-            tc = TileCoder(tw_px, h, cfg.qindex, cfg.cdf_update, kf=False,
-                           cdf_init=self._cdf_state,
+            tc = TileCoder(tw_px, h, q, cfg.cdf_update, kf=False,
+                           cdf_init=cdf0,
                            mi_col_off=t * tw_px // 4,
-                           frame_mi_cols=w // 4)
+                           frame_mi_cols=w // 4,
+                           cdef_bits=(cdef_params["bits"]
+                                      if cdef_params else 0),
+                           cdef_idx=(cdef_params["idx_map"]
+                                     [:, t * sbw_t:(t + 1) * sbw_t]
+                                     if cdef_params else None))
+            if any(lr_types):
+                sl = slice(t * sbw_t, (t + 1) * sbw_t)
+                tc.set_lr(lr_types, [
+                    ({k: v[:, sl] for k, v in un.items()}
+                     if un is not None else None) for un in lr_infos])
             tile, tcdf = tc.encode(part_n[t], y_mi_n[t], y_lev_n[t],
                                    u_lev_n[t], v_lev_n[t], y_smi_n[t],
                                    y_slev_n[t], u_slev_n[t], v_slev_n[t],
                                    mv_t_n[t], mv_s_n[t], cands, cands_sub,
-                                   n_i_top, n_i_sub)
+                                   n_i_top, n_i_sub, stx_sub=y_stx_n[t])
             tiles.append(tile)
             if t == 0:
                 end_cdf = tcdf
-        primary_ref = 0 if self._cdf_state is not None else 7
-        fr = FrameConfig(frame_type=1, base_q_idx=cfg.qindex,
+        primary_ref = 0 if cdf0 is not None else 7
+        fr = FrameConfig(frame_type=1, base_q_idx=q,
                          disable_cdf_update=not cfg.cdf_update,
                          disable_frame_end_update_cdf=not cfg.cdf_update,
                          primary_ref_frame=primary_ref,
                          filter_level=(lf[0], lf[1]),
                          filter_level_u=lf[2], filter_level_v=lf[3],
-                         tile_cols_log2=T.bit_length() - 1)
-        if cfg.cdf_update:
-            self._cdf_state = end_cdf.snapshot()
+                         tile_cols_log2=T.bit_length() - 1,
+                         lr_frame_types=lr_types, **cdef_kw,
+                         **(hdr_extra or {}))
+        snap = end_cdf.snapshot() if cfg.cdf_update else None
+        if chain and cfg.cdf_update:
+            self._cdf_state = snap
         payload = assemble_frame(self.seq, fr,
                                  tiles if T > 1 else tiles[0], first=False)
         rec = (y_rec_n, u_rec_n, v_rec_n)
-        return payload, rec
+        return payload, rec, snap

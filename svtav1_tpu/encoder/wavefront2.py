@@ -43,6 +43,34 @@ def _cdf_sym_bits(table, sym):
     return -np.log2(max(hi - int(table[sym]), 1) / 32768.0)
 
 
+# tx types searched on 16x16 intra luma leaves — the members of the
+# reduced intra set EXT_TX_SET_DTT4_IDTX (EbDefinitions.h get_ext_tx_set)
+TX_SEARCH_TYPES = (0, 3, 1, 2, 9)   # DCT, ADST_ADST, ADST_DCT, DCT_ADST, IDTX
+
+
+def txt_rate_table(qindex: int):
+    """[13 intra modes, 5 search types] signaling bits for the 16x16
+    intra tx-type symbol from the default CDFs (intra_ext_tx_cdf set 2,
+    sqr size 2; EbMdRateEstimation.c av1_ext_tx_ind path)."""
+    from ..spec.cdf import CdfContext
+    from ..spec.txfm import TX_16X16
+    from ..ec.coeffs import EXT_TX_IND
+    cdf = CdfContext(qindex)
+    out = np.zeros((13, len(TX_SEARCH_TYPES)), np.float32)
+    sq = tbl.txsize_sqr(TX_16X16)
+    for mode in range(13):
+        t = cdf.intra_ext_tx_cdf[2][sq][mode]
+        for i, tt in enumerate(TX_SEARCH_TYPES):
+            out[mode, i] = _cdf_sym_bits_n(t, EXT_TX_IND[2][tt], 5)
+    return out
+
+
+def _cdf_sym_bits_n(table, sym, nsyms):
+    hi = 32768 if sym == 0 else int(table[sym - 1])
+    lo = int(table[sym]) if sym < nsyms - 1 else 0
+    return -np.log2(max(hi - lo, 1) / 32768.0)
+
+
 def partition_bits(qindex: int, bs: int):
     """(bits_none, bits_split_total) at the top block size from the default
     partition CDFs (split total includes the four leaf NONE symbols)."""
@@ -65,35 +93,42 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 force_part, n_extra: int,
                                 modes_top: tuple, modes_sub: tuple,
                                 bd: int = 8, angle_deltas: tuple = (0,),
-                                kf: bool = True):
+                                kf: bool = True, tx_search: bool = False):
     """Public wrapper: computes the per-qindex RD inputs host-side and
-    passes them traced so per-frame q changes reuse the compilation."""
+    passes them traced so per-frame q changes reuse the compilation.
+
+    tx_search: RD-refine the tx type of INTRA sub-block (16x16 luma)
+    winners over the reduced intra set (TX_SEARCH_TYPES) — reference
+    MDS3 tx-type search (Docs/Appendix-TX-Search.md)."""
     cands_top = expand_candidates(modes_top, angle_deltas)
     cands_sub = expand_candidates(modes_sub, (0,))
     dc, ac = tbl.qindex_to_dq(qindex, bd)
     bn, bsp = partition_bits(qindex, bs)
+    mode_ids = np.array([m for m, _ in cands_sub], np.int32)
     rd = (jnp.int32(dc), jnp.int32(ac), jnp.float32(_lambda(qindex)),
           jnp.asarray(intra_mode_rate_table(cands_top, qindex, kf=kf)),
           jnp.asarray(intra_mode_rate_table(cands_sub, qindex, kf=kf)),
-          jnp.float32(bn), jnp.float32(bsp))
+          jnp.float32(bn), jnp.float32(bsp),
+          jnp.asarray(txt_rate_table(qindex)), jnp.asarray(mode_ids))
     return _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                                 extra_sub, extra_rate_sub, extra_ok_top,
                                 extra_ok_sub, intra_ok_top, intra_ok_sub,
                                 force_part, bs, tx_top, tx_sub, n_extra,
-                                modes_top, modes_sub, bd, angle_deltas, kf)
+                                modes_top, modes_sub, bd, angle_deltas, kf,
+                                tx_search)
 
 
 @partial(jax.jit,
          static_argnames=("bs", "tx_top", "tx_sub", "modes_top",
                           "modes_sub", "bd", "angle_deltas", "n_extra",
-                          "kf"))
+                          "kf", "tx_search"))
 def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                          extra_sub, extra_rate_sub, extra_ok_top,
                          extra_ok_sub, intra_ok_top, intra_ok_sub,
                          force_part, bs: int, tx_top: int, tx_sub: int,
                          n_extra: int, modes_top: tuple, modes_sub: tuple,
                          bd: int = 8, angle_deltas: tuple = (0,),
-                         kf: bool = True):
+                         kf: bool = True, tx_search: bool = False):
     """src [B,h,w] → (part [B,bh,bw] int32, mi_top [B,bh,bw],
     lev_top [B,bh,bw,bs,bs], mi_sub [B,bh,bw,4], lev_sub [B,bh,bw,4,h2,h2],
     recon [B,h,w]).
@@ -105,7 +140,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
     intra_ok_top [B,bh,bw] / intra_ok_sub [B,bh,bw,4] gate intra;
     force_part [B,bh,bw]: -1 free, 0 NONE, 1 SPLIT.
     Candidate index space: [0..n_intra) intra then extras."""
-    dqdc, dqac, lam, rate_top, rate_sub, bits_none, bits_split = rd
+    (dqdc, dqac, lam, rate_top, rate_sub, bits_none, bits_split,
+     txt_tbl, mode_ids) = rd
     B, h, w = src.shape
     hs = bs // 2
     bh, bw = h // bs, w // bs
@@ -136,13 +172,13 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         return plane[:, y[:, None, None] + a[None, :, None],
                      x[:, None, None] + a[None, None, :]]
 
-    def txq(pred, f_src, tx_size, n, tx_bits):
+    def txq(pred, f_src, tx_size, n, tx_bits, tx_type=DCT_DCT):
         resid = f_src - pred
-        coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, bd)
+        coeff = fwd_txfm2d(resid, tx_size, tx_type, bd)
         lev = quantize_dq(coeff, tx_size, dqdc, dqac, bd)
         dq = dequantize_dq(lev, tx_size, dqdc, dqac, bd)
-        recb = add_residual_clip(pred, inv_txfm2d(dq, tx_size, DCT_DCT, bd),
-                                 bd)
+        recb = add_residual_clip(pred, inv_txfm2d(dq, tx_size, tx_type,
+                                                  bd), bd)
         sse = jnp.sum((f_src - recb) ** 2, axis=(-1, -2)).astype(jnp.float32)
         rb = _resid_bits(lev, n)
         nnz = jnp.sum(lev != 0, axis=(-1, -2))
@@ -151,8 +187,10 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
 
     def eval_set(f_src, f_above, f_left, f_corner, f_ha, f_hl, cands,
                  mode_rates, n, tx_size, tx_bits, f_iok, extras):
-        """Best candidate over intra list + extras.
-        extras: list of (pred [B*D,n,n], rate [B*D], ok [B*D])."""
+        """Best candidate over intra list + extras, then (optionally) RD
+        tx-type refinement of intra winners.
+        extras: list of (pred [B*D,n,n], rate [B*D], ok [B*D]).
+        Returns (cost, mi, lev, recb, tx_idx)."""
         best = None
         for mi, (mode, delta) in enumerate(cands):
             if mode == intra.DC_PRED:
@@ -177,16 +215,34 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
             cost = jnp.where(f_iok,
                              sse + lam * (mode_rates[mi] + rb), BIG)
             pack = (cost, jnp.full_like(cost.astype(jnp.int32), mi), lev,
-                    recb)
+                    recb, pred, sse + lam * rb)
             best = pack if best is None else _take(best, pack)
         n_intra = len(cands)
         for e, (pred, rate, ok) in enumerate(extras):
             lev, recb, sse, rb = txq(pred, f_src, tx_size, n, tx_bits)
             cost = jnp.where(ok, sse + lam * (rate + rb), BIG)
             pack = (cost, jnp.full_like(cost.astype(jnp.int32), n_intra + e),
-                    lev, recb)
+                    lev, recb, pred, sse + lam * rb)
             best = _take(best, pack)
-        return best
+        cost, mi, lev, recb, pred, rcost = best
+        tx_idx = jnp.zeros_like(mi)
+        if tx_search:
+            m_ids = mode_ids[jnp.clip(mi, 0, len(mode_ids) - 1)]
+            cur_eff = rcost + lam * txt_tbl[m_ids, 0]
+            is_intra = mi < n_intra
+            for ti in range(1, len(TX_SEARCH_TYPES)):
+                tt = TX_SEARCH_TYPES[ti]
+                lev2, recb2, sse2, rb2 = txq(pred, f_src, tx_size, n, 0.0,
+                                             tt)
+                new_eff = sse2 + lam * (rb2 + txt_tbl[m_ids, ti])
+                take = is_intra & (new_eff < cur_eff)
+                t3 = take[:, None, None]
+                cost = jnp.where(take, cost - cur_eff + new_eff, cost)
+                lev = jnp.where(t3, lev2, lev)
+                recb = jnp.where(t3, recb2, recb)
+                tx_idx = jnp.where(take, ti, tx_idx)
+                cur_eff = jnp.where(take, new_eff, cur_eff)
+        return cost, mi, lev, recb, tx_idx
 
     def _take(best, pack):
         take = pack[0] < best[0]
@@ -194,7 +250,9 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         return (jnp.where(take, pack[0], best[0]),
                 jnp.where(take, pack[1], best[1]),
                 jnp.where(t3, pack[2], best[2]),
-                jnp.where(t3, pack[3], best[3]))
+                jnp.where(t3, pack[3], best[3]),
+                jnp.where(t3, pack[4], best[4]),
+                jnp.where(take, pack[5], best[5]))
 
     def sub_step(recon, rs, cs, valid, has_tr, has_bl):
         y = rs * bs
@@ -257,7 +315,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
             cost = jnp.where(f_iok,
                              sse + lam * (rate_top[mi] + rb), BIG)
             pack = (cost, jnp.full_like(cost.astype(jnp.int32), mi), lev,
-                    recb)
+                    recb, pred, sse + lam * rb)
             best_top = pack if best_top is None else _take(best_top, pack)
         n_i_top = len(cands_top)
         for e in range(n_extra):
@@ -267,13 +325,14 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
             lev, recb, sse, rb = txq(pred, f_src, tx_top, bs, txb_top)
             cost = jnp.where(ok, sse + lam * (rate + rb), BIG)
             pack = (cost, jnp.full_like(cost.astype(jnp.int32),
-                                        n_i_top + e), lev, recb)
+                                        n_i_top + e), lev, recb, pred,
+                    sse + lam * rb)
             best_top = _take(best_top, pack)
 
         # ---- SPLIT evaluation: 4 z-order sub-blocks ---------------------
         loc = jnp.zeros((B * D, bs, bs), jnp.int32)
         sub_cost = 0.0
-        sub_mi, sub_lev = [], []
+        sub_mi, sub_lev, sub_tx = [], [], []
         for z, (sr, sc) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
             oy, ox = sr * hs, sc * hs
             s_src = f_src[:, oy:oy + hs, ox:ox + hs]
@@ -317,12 +376,13 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                 ok = extra_ok_sub[:, e][:, rs, cs, z].reshape(-1)
                 extras.append((pred, rate, ok))
             f_iok_sub = intra_ok_sub[:, rs, cs, z].reshape(-1)
-            cost, mi, lev, recb = eval_set(
+            cost, mi, lev, recb, stx = eval_set(
                 s_src, s_above, s_left, s_corner, s_ha, s_hl, cands_sub,
                 rate_sub, hs, tx_sub, txb_sub, f_iok_sub, extras)
             sub_cost = sub_cost + cost
             sub_mi.append(mi)
             sub_lev.append(lev)
+            sub_tx.append(stx)
             loc = loc.at[:, oy:oy + hs, ox:ox + hs].set(recb)
 
         # ---- choose ----------------------------------------------------
@@ -341,7 +401,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                        best_top[1].reshape(B, D),
                        best_top[2].reshape(B, D, bs, bs),
                        jnp.stack(sub_mi, -1).reshape(B, D, 4),
-                       jnp.stack(sub_lev, -3).reshape(B, D, 4, hs, hs))
+                       jnp.stack(sub_lev, -3).reshape(B, D, 4, hs, hs),
+                       jnp.stack(sub_tx, -1).reshape(B, D, 4))
 
     def step(recon, xs):
         rs, cs, valid, has_tr, has_bl = xs
@@ -351,10 +412,10 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                                 has_bl[z])
             outs.append(o)
         return recon, tuple(jnp.stack([o[k] for o in outs], 1)
-                            for k in range(5))
+                            for k in range(6))
 
     recon0 = jnp.zeros((B, h, w), jnp.int32)
-    recon, (part_d, mi_d, lev_d, smi_d, slev_d) = jax.lax.scan(
+    recon, (part_d, mi_d, lev_d, smi_d, slev_d, stx_d) = jax.lax.scan(
         step, recon0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
                        jnp.asarray(valid_t), jnp.asarray(has_tr_t),
                        jnp.asarray(has_bl_t)))
@@ -370,4 +431,4 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
 
     return (undiag(part_d, ()), undiag(mi_d, ()),
             undiag(lev_d, (bs, bs)), undiag(smi_d, (4,)),
-            undiag(slev_d, (4, hs, hs)), recon)
+            undiag(slev_d, (4, hs, hs)), undiag(stx_d, (4,)), recon)

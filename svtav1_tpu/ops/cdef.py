@@ -161,3 +161,181 @@ def pad_plane(plane) -> np.ndarray:
                   np.int32)
     out[..., 2:2 + H, 2:2 + W] = np.asarray(plane)
     return out
+
+
+def pad_plane_j(plane):
+    """jnp version of pad_plane (traceable)."""
+    return jnp.pad(jnp.asarray(plane).astype(jnp.int32),
+                   [(0, 0)] * (plane.ndim - 2) + [(2, 2), (2, 2)],
+                   constant_values=CDEF_VERY_LARGE)
+
+
+def _msb(v):
+    """floor(log2(v)) for v >= 1 (get_msb), elementwise int32."""
+    v = v.astype(jnp.int32)
+    r = jnp.zeros_like(v)
+    for s in (16, 8, 4, 2, 1):
+        hit = (v >> s) > 0
+        r = r + jnp.where(hit, s, 0)
+        v = jnp.where(hit, v >> s, v)
+    return r
+
+
+def adjust_strength_map(strength, var):
+    """Per-block variance-adjusted luma primary strength
+    (EbCdef.c:130 adjust_strength)."""
+    v6 = var >> 6
+    i = jnp.where(v6 > 0, jnp.minimum(_msb(jnp.maximum(v6, 1)), 12), 0)
+    return jnp.where(var != 0, (strength * (4 + i) + 8) >> 4, 0)
+
+
+def _constrain_map(diff, strength, damping: int):
+    """constrain() with a per-pixel traced strength map."""
+    shift = jnp.maximum(0, damping - _msb(jnp.maximum(strength, 1)))
+    ad = jnp.abs(diff)
+    c = jnp.minimum(ad, jnp.maximum(0, strength - (ad >> shift)))
+    return jnp.sign(diff) * jnp.where(strength > 0, c, 0)
+
+
+def cdef_filter_plane_map(padded, dmap, pri_map, sec_map,
+                          pri_damping: int, sec_damping: int, block: int,
+                          coeff_shift: int = 0):
+    """Filter all `block`x`block` blocks with PER-BLOCK strength maps.
+
+    padded: [..., H+4, W+4] int32 (CDEF_VERY_LARGE outside the frame);
+    dmap/pri_map/sec_map: [..., H//block, W//block] int32 — direction and
+    the FINAL primary/secondary strengths (post variance adjustment and
+    << coeff_shift).  block = 8 (luma) or 4 (4:2:0 chroma, same tap
+    offsets per the spec).  Damping values are the already-adjusted
+    per-plane ones (EbCdef.c:349-352).  Returns [..., H, W] int32."""
+    H = padded.shape[-2] - 4
+    W = padded.shape[-1] - 4
+    x = padded[..., 2:2 + H, 2:2 + W]
+
+    rep = lambda m: jnp.repeat(jnp.repeat(m, block, axis=-2), block,
+                               axis=-1)
+    dpix = rep(dmap)
+    pri = rep(pri_map)
+    sec = rep(sec_map)
+    # tap parity from the (adjusted) strength — EbCdef.c:253 pri_taps
+    parity = (pri >> coeff_shift) & 1
+    pri_tap = (jnp.where(parity == 1, 3, 4),
+               jnp.where(parity == 1, 3, 2))
+
+    def shifted(dy, dx):
+        return padded[..., 2 + dy:2 + dy + H, 2 + dx:2 + dx + W]
+
+    sum_ = jnp.zeros_like(x)
+    mx = x
+    mn = x
+    for d in range(8):
+        sel = dpix == d
+        for k in range(2):
+            contrib = jnp.zeros_like(x)
+            cmx, cmn = x, x
+            for sgn in (1, -1):
+                dy, dx = DIRECTIONS[d][k]
+                p = shifted(sgn * dy, sgn * dx)
+                contrib = contrib + pri_tap[k] * _constrain_map(
+                    p - x, pri, pri_damping)
+                cmx = jnp.maximum(cmx,
+                                  jnp.where(p == CDEF_VERY_LARGE, cmx, p))
+                cmn = jnp.minimum(cmn, p)
+            for dd in ((d + 2) & 7, (d - 2) & 7):
+                for sgn in (1, -1):
+                    dy, dx = DIRECTIONS[dd][k]
+                    s = shifted(sgn * dy, sgn * dx)
+                    contrib = contrib + SEC_TAPS[0][k] * _constrain_map(
+                        s - x, sec, sec_damping)
+                    cmx = jnp.maximum(
+                        cmx, jnp.where(s == CDEF_VERY_LARGE, cmx, s))
+                    cmn = jnp.minimum(cmn, s)
+            sum_ = jnp.where(sel, sum_ + contrib, sum_)
+            mx = jnp.where(sel, jnp.maximum(mx, cmx), mx)
+            mn = jnp.where(sel, jnp.minimum(mn, cmn), mn)
+
+    y = x + ((8 + sum_ - (sum_ < 0)) >> 4)
+    return jnp.clip(y, mn, mx)
+
+
+def find_dir_plane(plane, coeff_shift: int = 0):
+    """Per-8x8 direction/variance over a [..., H, W] plane →
+    (dir [..., H//8, W//8], var [..., H//8, W//8])."""
+    H, W = plane.shape[-2], plane.shape[-1]
+    lead = plane.shape[:-2]
+    bh, bw = H // 8, W // 8
+    blocks = jnp.asarray(plane).reshape(lead + (bh, 8, bw, 8))
+    blocks = jnp.swapaxes(blocks, -3, -2).reshape((-1, 8, 8))
+    d, v = find_dir(blocks, coeff_shift)
+    return d.reshape(lead + (bh, bw)), v.reshape(lead + (bh, bw))
+
+
+def cdef_apply_frame(y, u, v, skip8, idx8, y_pri, y_sec, uv_pri, uv_sec,
+                     damping: int, bd: int = 8):
+    """Normative frame CDEF (decode-side semantics, EbDecCdef.c:120-230 /
+    EbCdef.c:339-432): filter every non-skip 8x8 luma block and its
+    co-located 4x4 chroma blocks from the PRE-CDEF (post-deblock) planes.
+
+    y [H,W], u/v [H/2,W/2] int; skip8 [H/8,W/8] bool (True = coded skip);
+    idx8 [H/8,W/8] int32 — per-8x8 cdef_idx (the per-64x64 signal,
+    broadcast); y_pri/y_sec/uv_pri/uv_sec: [n_strengths] int32 tables
+    (sec already 3→4 decoded); damping = cdef_damping (header value).
+    Returns filtered (y, u, v) int32."""
+    cs = bd - 8
+    y = jnp.asarray(y).astype(jnp.int32)
+    u = jnp.asarray(u).astype(jnp.int32)
+    v = jnp.asarray(v).astype(jnp.int32)
+    dirs, var = find_dir_plane(y, cs)
+
+    yp = jnp.asarray(y_pri)[idx8] << cs
+    ys = jnp.asarray(y_sec)[idx8] << cs
+    pri_adj = adjust_strength_map(yp, var)
+    dir_y = jnp.where(yp > 0, dirs, 0)
+    y_f = cdef_filter_plane_map(pad_plane_j(y), dir_y, pri_adj, ys,
+                                damping + cs, damping + cs, 8, cs)
+
+    up = jnp.asarray(uv_pri)[idx8] << cs
+    us = jnp.asarray(uv_sec)[idx8] << cs
+    dir_c = jnp.where(up > 0, dirs, 0)
+    u_f = cdef_filter_plane_map(pad_plane_j(u), dir_c, up, us,
+                                damping + cs - 1, damping + cs - 1, 4, cs)
+    v_f = cdef_filter_plane_map(pad_plane_j(v), dir_c, up, us,
+                                damping + cs - 1, damping + cs - 1, 4, cs)
+
+    skip = jnp.asarray(skip8)
+    rep8 = jnp.repeat(jnp.repeat(skip, 8, axis=-2), 8, axis=-1)
+    rep4 = jnp.repeat(jnp.repeat(skip, 4, axis=-2), 4, axis=-1)
+    return (jnp.where(rep8, y, y_f), jnp.where(rep4, u, u_f),
+            jnp.where(rep4, v, v_f))
+
+
+from functools import partial as _partial
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("bd",))
+def _cdef_apply_jit(y, u, v, skip8, idx8, yp, ys, up, us, damping,
+                    bd: int = 8):
+    return cdef_apply_frame(y, u, v, skip8, idx8, yp, ys, up, us, damping,
+                            bd)
+
+
+def cdef_apply_params(rec, skip8, params, bd: int = 8):
+    """Apply a chosen CDEF parameter set (shared by encoder in-loop and
+    decoder).  rec = (y, u, v) planes; params as produced by
+    cdef_search_frame / header parse: {damping, bits, y_strengths,
+    uv_strengths, idx_map} with strengths (pri, sec) and sec ∈ {0,1,2,4}.
+    Returns filtered (y, u, v) jnp int32 planes."""
+    idx8 = jnp.asarray(np.repeat(np.repeat(params["idx_map"], 8, 0), 8, 1))
+    yp = jnp.asarray(np.array([p for p, _ in params["y_strengths"]],
+                              np.int32))
+    ys = jnp.asarray(np.array([s for _, s in params["y_strengths"]],
+                              np.int32))
+    up = jnp.asarray(np.array([p for p, _ in params["uv_strengths"]],
+                              np.int32))
+    us = jnp.asarray(np.array([s for _, s in params["uv_strengths"]],
+                              np.int32))
+    return _cdef_apply_jit(jnp.asarray(rec[0]), jnp.asarray(rec[1]),
+                           jnp.asarray(rec[2]), jnp.asarray(skip8), idx8,
+                           yp, ys, up, us, jnp.int32(params["damping"]),
+                           bd)

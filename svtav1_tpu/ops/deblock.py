@@ -24,15 +24,19 @@ def thresholds(lvl: int, sharpness: int = 0):
     return 2 * (lvl + 2) + inside, inside, lvl >> 4
 
 
-def _sc(x):
-    return jnp.clip(x, -128, 127)
-
-
-def _filter_core(px, filter_length: int, mblim: int, lim: int, thr: int):
+def _filter_core(px, filter_length: int, mblim: int, lim: int, thr: int,
+                 bd: int = 8):
     """px [..., 14] int32 = p6..p0,q0..q6 across the edge → filtered [..., 14].
 
-    Only the taps the chosen filter writes are modified.
-    """
+    Only the taps the chosen filter writes are modified.  For bd > 8 the
+    limits, the signed-clamp range, and the flatness threshold scale by
+    1 << (bd-8) — the reference highbd kernels
+    (EbDeblockingCommon.c svt_aom_highbd_lpf_*; spec §7.14.6)."""
+    sh = bd - 8
+    off = 128 << sh
+    mblim, lim, thr = mblim << sh, lim << sh, thr << sh
+    flat_thr = 1 << sh
+    _sc = lambda x: jnp.clip(x, -off, off - 1)
     p = {i: px[..., 6 - i] for i in range(7)}
     q = {i: px[..., 7 + i] for i in range(7)}
 
@@ -54,17 +58,17 @@ def _filter_core(px, filter_length: int, mblim: int, lim: int, thr: int):
 
     # filter4 (branchless)
     hev = (ab(p[1], p[0]) > thr) | (ab(q[1], q[0]) > thr)
-    ps1, ps0 = p[1] - 128, p[0] - 128
-    qs0, qs1 = q[0] - 128, q[1] - 128
+    ps1, ps0 = p[1] - off, p[0] - off
+    qs0, qs1 = q[0] - off, q[1] - off
     f = jnp.where(hev, _sc(ps1 - qs1), 0)
     f = jnp.where(mask, _sc(f + 3 * (qs0 - ps0)), 0)
     f1 = _sc(f + 4) >> 3
     f2 = _sc(f + 3) >> 3
-    n_q0 = _sc(qs0 - f1) + 128
-    n_p0 = _sc(ps0 + f2) + 128
+    n_q0 = _sc(qs0 - f1) + off
+    n_p0 = _sc(ps0 + f2) + off
     f3 = jnp.where(hev, 0, (f1 + 1) >> 1)
-    n_q1 = _sc(qs1 - f3) + 128
-    n_p1 = _sc(ps1 + f3) + 128
+    n_q1 = _sc(qs1 - f3) + off
+    n_p1 = _sc(ps1 + f3) + off
 
     out = px
     upd = lambda arr, idx, val: arr.at[..., idx].set(val)
@@ -77,8 +81,8 @@ def _filter_core(px, filter_length: int, mblim: int, lim: int, thr: int):
 
     r2 = lambda v: (v + 4) >> 3
     if filter_length == 6:
-        flat = ((ab(p[1], p[0]) <= 1) & (ab(q[1], q[0]) <= 1) &
-                (ab(p[2], p[0]) <= 1) & (ab(q[2], q[0]) <= 1))
+        flat = ((ab(p[1], p[0]) <= flat_thr) & (ab(q[1], q[0]) <= flat_thr) &
+                (ab(p[2], p[0]) <= flat_thr) & (ab(q[2], q[0]) <= flat_thr))
         sm = flat & mask
         s_p1 = r2(p[2] * 3 + p[1] * 2 + p[0] * 2 + q[0])
         s_p0 = r2(p[2] + p[1] * 2 + p[0] * 2 + q[0] * 2 + q[1])
@@ -90,9 +94,9 @@ def _filter_core(px, filter_length: int, mblim: int, lim: int, thr: int):
         out = upd(out, 8, jnp.where(sm, s_q1, n_q1))
         return out
 
-    flat = ((ab(p[1], p[0]) <= 1) & (ab(q[1], q[0]) <= 1) &
-            (ab(p[2], p[0]) <= 1) & (ab(q[2], q[0]) <= 1) &
-            (ab(p[3], p[0]) <= 1) & (ab(q[3], q[0]) <= 1))
+    flat = ((ab(p[1], p[0]) <= flat_thr) & (ab(q[1], q[0]) <= flat_thr) &
+            (ab(p[2], p[0]) <= flat_thr) & (ab(q[2], q[0]) <= flat_thr) &
+            (ab(p[3], p[0]) <= flat_thr) & (ab(q[3], q[0]) <= flat_thr))
     sm = flat & mask
     e_p2 = r2(p[3] * 3 + p[2] * 2 + p[1] + p[0] + q[0])
     e_p1 = r2(p[3] * 2 + p[2] + p[1] * 2 + p[0] + q[0] + q[1])
@@ -114,9 +118,9 @@ def _filter_core(px, filter_length: int, mblim: int, lim: int, thr: int):
         return out
 
     # filter_length == 14
-    flat2 = ((ab(p[6], p[0]) <= 1) & (ab(p[5], p[0]) <= 1) &
-             (ab(p[4], p[0]) <= 1) & (ab(q[4], q[0]) <= 1) &
-             (ab(q[5], q[0]) <= 1) & (ab(q[6], q[0]) <= 1))
+    flat2 = ((ab(p[6], p[0]) <= flat_thr) & (ab(p[5], p[0]) <= flat_thr) &
+             (ab(p[4], p[0]) <= flat_thr) & (ab(q[4], q[0]) <= flat_thr) &
+             (ab(q[5], q[0]) <= flat_thr) & (ab(q[6], q[0]) <= flat_thr))
     wide = flat2 & sm
     r4 = lambda v: (v + 8) >> 4
     w_p5 = r4(p[6] * 7 + p[5] * 2 + p[4] * 2 + p[3] + p[2] + p[1] + p[0] + q[0])
@@ -168,9 +172,10 @@ _WRITE_WIN = {4: (5, 9), 6: (5, 9), 8: (4, 10), 14: (1, 13)}
 
 
 @partial(jax.jit, static_argnames=("spacing", "filter_length", "level_v",
-                                   "level_h", "sharpness"))
+                                   "level_h", "sharpness", "bd"))
 def deblock_plane_uniform(plane, spacing: int, filter_length: int,
-                          level_v: int, level_h: int, sharpness: int = 0):
+                          level_v: int, level_h: int, sharpness: int = 0,
+                          bd: int = 8):
     """Deblock a plane with uniform TX grid `spacing` (our fixed-block intra
     frame): vertical-edge pass then horizontal-edge pass."""
     h, w = plane.shape[-2], plane.shape[-1]
@@ -181,7 +186,7 @@ def deblock_plane_uniform(plane, spacing: int, filter_length: int,
         xs = np.arange(spacing, w, spacing)
         cols = xs[:, None] + np.arange(-7, 7)[None, :]       # [E, 14]
         px = x[..., :, cols]                                 # [..., h, E, 14]
-        px = _filter_core(px, filter_length, mblim, lim, thr)
+        px = _filter_core(px, filter_length, mblim, lim, thr, bd)
         lo, hi = _WRITE_WIN[filter_length]
         x = x.at[..., :, cols[:, lo:hi]].set(px[..., lo:hi])
 
@@ -190,7 +195,7 @@ def deblock_plane_uniform(plane, spacing: int, filter_length: int,
         ys = np.arange(spacing, h, spacing)
         rows = ys[:, None] + np.arange(-7, 7)[None, :]
         px = jnp.swapaxes(x, -1, -2)[..., :, rows]
-        px = _filter_core(px, filter_length, mblim, lim, thr)
+        px = _filter_core(px, filter_length, mblim, lim, thr, bd)
         lo, hi = _WRITE_WIN[filter_length]
         x = jnp.swapaxes(
             jnp.swapaxes(x, -1, -2).at[..., :, rows[:, lo:hi]].set(
@@ -199,9 +204,10 @@ def deblock_plane_uniform(plane, spacing: int, filter_length: int,
 
 
 @partial(jax.jit, static_argnames=("spacing", "filter_length", "level_v",
-                                   "level_h", "sharpness"))
+                                   "level_h", "sharpness", "bd"))
 def deblock_plane_part(plane, part, spacing: int, filter_length: int,
-                       level_v: int, level_h: int, sharpness: int = 0):
+                       level_v: int, level_h: int, sharpness: int = 0,
+                       bd: int = 8):
     """Partition-aware deblock: edges on the `spacing` grid always filter;
     half-spacing edges filter only inside blocks marked split in
     `part` [..., h//spacing, w//spacing].  Filter taps are unchanged
@@ -222,7 +228,7 @@ def deblock_plane_part(plane, part, spacing: int, filter_length: int,
         px = x[..., :, cols]                             # [..., h, E, 14]
         act = (part[..., ys_blk, :][..., :, xb] == 1) | \
             jnp.asarray(on_grid)
-        filt = _filter_core(px, filter_length, mblim, lim, thr)
+        filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
         px = jnp.where(act[..., None], filt, px)
         lo, hi = _WRITE_WIN[filter_length]
         x = x.at[..., :, cols[:, lo:hi]].set(px[..., lo:hi])
@@ -238,7 +244,7 @@ def deblock_plane_part(plane, part, spacing: int, filter_length: int,
         px = xt[..., :, rows]                            # [..., w, E, 14]
         act = (jnp.swapaxes(part, -1, -2)[..., xs_blk, :][..., :, yb]
                == 1) | jnp.asarray(on_grid_h)
-        filt = _filter_core(px, filter_length, mblim, lim, thr)
+        filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
         px = jnp.where(act[..., None], filt, px)
         lo, hi = _WRITE_WIN[filter_length]
         x = jnp.swapaxes(xt.at[..., :, rows[:, lo:hi]].set(px[..., lo:hi]),

@@ -77,6 +77,41 @@ def sad_field(query, candidates):
                    axis=(-1, -2))
 
 
+def ssim_plane(a, b, peak: int = 255) -> float:
+    """Mean SSIM over 8x8 windows stepped by 4 — the reference's
+    aom_ssim2 evaluation used by its --stat-report SSIM numbers
+    (EbPsnr.c / aom_dsp ssim.c: ssim_8x8 grid, stride 4, standard
+    k1=0.01/k2=0.03 constants scaled to the bit-depth peak)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    h, w = a.shape
+    if h < 8 or w < 8:
+        return 1.0
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+
+    def win_sums(x):
+        # [nh, nw] sums of 8x8 windows at stride 4 via cumsum
+        ii = np.zeros((h + 1, w + 1))
+        ii[1:, 1:] = x.cumsum(0).cumsum(1)
+        r = np.arange(0, h - 7, 4)
+        c = np.arange(0, w - 7, 4)
+        return (ii[np.ix_(r + 8, c + 8)] - ii[np.ix_(r, c + 8)] -
+                ii[np.ix_(r + 8, c)] + ii[np.ix_(r, c)])
+
+    n = 64.0
+    sa, sb = win_sums(a), win_sums(b)
+    saa, sbb = win_sums(a * a), win_sums(b * b)
+    sab = win_sums(a * b)
+    ma, mb = sa / n, sb / n
+    va = saa / n - ma * ma
+    vb = sbb / n - mb * mb
+    cov = sab / n - ma * mb
+    ssim = ((2 * ma * mb + c1) * (2 * cov + c2) /
+            ((ma * ma + mb * mb + c1) * (va + vb + c2)))
+    return float(ssim.mean())
+
+
 def downsample2x(plane):
     """2x decimation by averaging (picture-analysis pyramid,
     EbPictureAnalysisProcess.c:1825)."""

@@ -128,7 +128,9 @@ def test_inter_bitrate_gain(tmp_path):
         enc = VideoEncoder(EncoderConfig(w, h, qindex=100), keyint=keyint)
         per = [len(enc.encode_frame(*f)[0]) for f in frames]
         sizes[name] = sum(per[1:])
-    assert sizes["inter"] < 0.6 * sizes["intra"], sizes
+    # margin loosened from 0.60 after tx-type search shrank the all-intra
+    # denominator (same P bytes, cheaper I frames)
+    assert sizes["inter"] < 0.65 * sizes["intra"], sizes
 
 
 def test_partition_split_conformance(tmp_path):

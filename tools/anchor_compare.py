@@ -137,10 +137,10 @@ def decode_dav1d(ivf: Path, w: int, h: int):
 
 
 def run_ours(clip: Path, q: int, out: Path, keyint: int = 64,
-             frames: int = 0):
+             frames: int = 0, extra=()):
     from svtav1_tpu.app import main as enc_main
     args = ["-i", str(clip), "-b", str(out), "-q", str(q),
-            "--keyint", str(keyint)]
+            "--keyint", str(keyint)] + list(extra)
     if frames:
         args += ["-n", str(frames)]
     rc = enc_main(args)
@@ -170,6 +170,9 @@ def main():
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--preset", type=int, default=8)
     ap.add_argument("--out", default=str(ROOT / "ANCHOR.md"))
+    ap.add_argument("--ours-flags", default="",
+                    help="extra CLI flags for our encoder, space-separated")
+    ap.add_argument("--qs", default="120,150,190,230")
     args = ap.parse_args()
 
     import jax
@@ -214,9 +217,10 @@ def main():
             pa.append(ps)
             lines.append(f"| reference | crf {crf} | {kbps:.1f} | "
                          f"{ps:.2f} |")
-        for q in (120, 150, 190, 230):
+        for q in [int(x) for x in args.qs.split(",")]:
             out = tmp / f"ours_{clip.stem}_{q}.ivf"
-            sz = run_ours(clip, q, out, frames=n)
+            sz = run_ours(clip, q, out, frames=n,
+                          extra=args.ours_flags.split())
             dec = decode_dav1d(out, info.width, info.height)
             ps = psnr_frames(src, dec)
             kbps = sz * 8 * fps / n / 1000

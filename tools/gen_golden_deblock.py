@@ -51,6 +51,25 @@ def main():
             data[f"v{tap}_{case}_in"] = strip
             data[f"v{tap}_{case}_out"] = out
             data[f"v{tap}_{case}_lvl"] = np.array([lvl])
+    u16p = np.ctypeslib.ndpointer(np.uint16)
+    for tap in (4, 6, 8, 14):
+        fn = getattr(lib, f"svt_aom_highbd_lpf_vertical_{tap}_c")
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32, u8p, u8p, u8p,
+                       ctypes.c_int32]
+        for case in range(20):
+            lvl = int(rng.randint(1, 64))
+            inside = max(1, lvl)
+            mblim = np.array([2 * (lvl + 2) + inside], np.uint8)
+            lim = np.array([inside], np.uint8)
+            thr = np.array([lvl >> 4], np.uint8)
+            strip = rng.randint(0, 1024, (4, 32)).astype(np.uint16)
+            if case % 3 == 0:
+                strip = (strip // 16 + 480).astype(np.uint16)
+            out = strip.copy()
+            fn(out.ctypes.data + 2 * 16, 32, mblim, lim, thr, 10)
+            data[f"hbd_v{tap}_{case}_in"] = strip
+            data[f"hbd_v{tap}_{case}_out"] = out
+            data[f"hbd_v{tap}_{case}_lvl"] = np.array([lvl])
     np.savez_compressed(OUT, **data)
     print("wrote", OUT)
 
