@@ -21,6 +21,7 @@ from ..ec.mvpred import MiGrid, find_mv_stack
 from ..ec.range_coder import RangeDecoder
 from ..ops.mc import MV_PRED_PAD, pad_plane_np, predict_inter_block_np
 from ..spec import mv as MV
+from ..spec.mv import lower_mv_precision as _lp
 from ..ops import intra
 from ..ops.deblock import deblock_plane_part, deblock_plane_uniform
 from ..ops.intra_dir import dr_pred
@@ -82,6 +83,7 @@ class FrameInfo:
     context_update_tile_id: int = 0
     showable: bool = True
     show_existing_idx: int = -1       # >= 0: show_existing_frame header
+    reference_select: bool = False
     lr_frame_types: tuple = (0, 0, 0)   # 0 NONE 1 WIENER 2 SGR 3 SWITCH
     cdef_damping: int = 3
     cdef_bits: int = 0
@@ -288,7 +290,7 @@ class Decoder:
         fr.tx_mode_select = bool(r.bit())
         _need(not fr.tx_mode_select, "TX_MODE_LARGEST subset")
         if is_inter:
-            _need(r.bit() == 0, "reference_select (compound)")
+            fr.reference_select = bool(r.bit())
         fr.reduced_tx_set = bool(r.bit())
         if is_inter:
             for _ in range(7):
@@ -311,6 +313,11 @@ class Decoder:
             ref = self.dpb[fr.ref_frame_idx[0]]
             _need(ref is not None, "missing reference frame")
             self._refp = tuple(pad_plane_np(p) for p in ref)
+            self._refp2 = None
+            if fr.reference_select:
+                ref2 = self.dpb[fr.ref_frame_idx[6]]   # ALTREF slot
+                _need(ref2 is not None, "missing ALTREF reference")
+                self._refp2 = tuple(pad_plane_np(p) for p in ref2)
         self._part_map = np.zeros((h // 32, w // 32), np.int32)
         self._y = np.zeros((h, w), np.int32)
         self._u = np.zeros((h // 2, w // 2), np.int32)
@@ -461,34 +468,93 @@ class Decoder:
             left_inter = grid.is_inter(mi_r, mi_c - 1) if have_left else None
             is_inter = IM.read_is_inter(
                 dec, cdf, IM.intra_inter_ctx(above_inter, left_inter))
+        mv1 = None
         if is_inter:
-            a_ref = int(grid.ref0[mi_r - 1, mi_c]) if have_above else None
-            l_ref = int(grid.ref0[mi_r, mi_c - 1]) if have_left else None
-            counts = IM.neighbor_ref_counts(
-                a_ref if (a_ref or 0) >= 1 else None,
-                l_ref if (l_ref or 0) >= 1 else None)
-            IM.read_ref_frame_single(dec, cdf, counts)
-            res = find_mv_stack(grid, mi_r, mi_c, bw4, bw4,
-                                mi_col_off=getattr(st, "x_off", 0) // 4,
-                                frame_mi_cols=seq.width // 4)
-            mode = IM.read_inter_mode(dec, cdf, res.mode_context)
-            ref_mv_idx = 0
-            if mode in (MV.NEWMV, MV.NEARMV):
-                ref_mv_idx = IM.read_drl_idx(dec, cdf, mode, res.stack,
-                                             res.num_found)
-            if mode == MV.NEARESTMV:
-                mv = res.nearest_mv
-            elif mode == MV.NEARMV:
-                mv = (res.stack[1 + ref_mv_idx][:2] if ref_mv_idx > 0
-                      else res.near_mv)
-            elif mode == MV.GLOBALMV:
-                mv = (0, 0)
+            def nb_ref(r, c, avail):
+                if not avail:
+                    return None
+                r0 = int(grid.ref0[r, c])
+                if r0 < 1:
+                    return None
+                r1 = int(grid.ref1[r, c])
+                return (r0, r1) if r1 >= 1 else r0
+
+            a_ref = nb_ref(mi_r - 1, mi_c, have_above)
+            l_ref = nb_ref(mi_r, mi_c - 1, have_left)
+            counts = IM.neighbor_ref_counts(a_ref, l_ref)
+            is_comp = False
+            if fr.reference_select:
+                def nb_info(r, c, avail):
+                    if not avail:
+                        return None
+                    return (grid.ref0[r, c] >= 1, int(grid.ref0[r, c]),
+                            int(grid.ref1[r, c]))
+                a_i = nb_info(mi_r - 1, mi_c, have_above)
+                l_i = nb_info(mi_r, mi_c - 1, have_left)
+                is_comp = IM.read_comp_mode(dec, cdf,
+                                            IM.ref_mode_ctx(a_i, l_i))
+            if is_comp:
+                refs = IM.read_comp_refs(dec, cdf, a_i, l_i, counts)
+                res = find_mv_stack(
+                    grid, mi_r, mi_c, bw4, bw4, ref_frame=refs,
+                    mi_col_off=getattr(st, "x_off", 0) // 4,
+                    frame_mi_cols=seq.width // 4)
+                cmode = IM.read_inter_compound_mode(dec, cdf,
+                                                    res.mode_context)
+                ref_mv_idx = 0
+                if cmode == MV.NEW_NEWMV or MV.has_nearmv(cmode):
+                    ref_mv_idx = IM.read_drl_idx(dec, cdf, cmode,
+                                                 res.stack,
+                                                 res.num_found)
+                s0 = res.ref_list[0]
+                if cmode == MV.NEAREST_NEARESTMV:
+                    mv = _lp(s0[0], s0[1])
+                    mv1 = _lp(s0[2], s0[3])
+                elif cmode == MV.NEAR_NEARMV:
+                    sn = (res.stack[1 + ref_mv_idx]
+                          if len(res.stack) > 1 + ref_mv_idx
+                          else (0, 0, 0, 0, 0))
+                    mv = _lp(sn[0], sn[1])
+                    mv1 = _lp(sn[2], sn[3])
+                elif cmode == MV.GLOBAL_GLOBALMV:
+                    mv, mv1 = (0, 0), (0, 0)
+                elif cmode == MV.NEW_NEWMV:
+                    sr = (res.stack[ref_mv_idx]
+                          if len(res.stack) > ref_mv_idx
+                          else (0, 0, 0, 0, 0))
+                    mv = IM.read_mv(dec, cdf, _lp(sr[0], sr[1]))
+                    mv1 = IM.read_mv(dec, cdf, _lp(sr[2], sr[3]))
+                else:
+                    raise DecodeError(
+                        "mixed NEW/NEAREST compound modes unsupported")
+                grid.set_block(mi_r, mi_c, bw4, bw4, refs[0], cmode,
+                               mv[0], mv[1], ref1=refs[1], mv1r=mv1[0],
+                               mv1c=mv1[1])
             else:
-                ref_mv = (res.stack[ref_mv_idx][:2] if res.num_found > 1
-                          else res.nearest_mv)
-                mv = IM.read_mv(dec, cdf, ref_mv)
-            grid.set_block(mi_r, mi_c, bw4, bw4, MV.LAST_FRAME, mode,
-                           mv[0], mv[1])
+                IM.read_ref_frame_single(dec, cdf, counts)
+                res = find_mv_stack(
+                    grid, mi_r, mi_c, bw4, bw4,
+                    mi_col_off=getattr(st, "x_off", 0) // 4,
+                    frame_mi_cols=seq.width // 4)
+                mode = IM.read_inter_mode(dec, cdf, res.mode_context)
+                ref_mv_idx = 0
+                if mode in (MV.NEWMV, MV.NEARMV):
+                    ref_mv_idx = IM.read_drl_idx(dec, cdf, mode,
+                                                 res.stack,
+                                                 res.num_found)
+                if mode == MV.NEARESTMV:
+                    mv = res.nearest_mv
+                elif mode == MV.NEARMV:
+                    mv = (_lp(*res.stack[1 + ref_mv_idx][:2])
+                          if ref_mv_idx > 0 else res.near_mv)
+                elif mode == MV.GLOBALMV:
+                    mv = (0, 0)
+                else:
+                    ref_mv = (_lp(*res.stack[ref_mv_idx][:2])
+                              if res.num_found > 1 else res.nearest_mv)
+                    mv = IM.read_mv(dec, cdf, ref_mv)
+                grid.set_block(mi_r, mi_c, bw4, bw4, MV.LAST_FRAME, mode,
+                               mv[0], mv[1])
         else:
             if is_inter_frame:
                 sg = 3 if bs == 32 else 2
@@ -567,7 +633,13 @@ class Decoder:
             st.left_cul[plane][lu0:lu0 + units] = cul
             st.left_av[plane][lu0:lu0 + units] = True
 
-            if is_inter:
+            if is_inter and mv1 is not None:
+                from ..ops.mc import predict_inter_block_np_compound
+                pred = predict_inter_block_np_compound(
+                    self._refp[plane], self._refp2[plane], y0, x0, mv,
+                    mv1, seq.height, seq.width, pbs, shift,
+                    seq.bit_depth)
+            elif is_inter:
                 pred = predict_inter_block_np(
                     self._refp[plane], y0, x0, mv, seq.height, seq.width,
                     pbs, shift, seq.bit_depth)

@@ -33,12 +33,16 @@ def intra_inter_ctx(above_inter, left_inter):
 
 
 def neighbor_ref_counts(above_ref, left_ref):
-    """ref frame histogram over the two direct neighbors; refs are None for
-    unavailable-or-intra."""
+    """ref frame histogram over the two direct neighbors; each entry is
+    None (unavailable-or-intra), an int ref, or a (ref0, ref1) pair for
+    compound neighbors (both refs counted, count_refs in spec)."""
     counts = np.zeros(8, np.int32)
     for r in (above_ref, left_ref):
-        if r is not None and r >= 1:
-            counts[r] += 1
+        if r is None:
+            continue
+        for ri in (r if isinstance(r, tuple) else (r,)):
+            if ri >= 1:
+                counts[ri] += 1
     return counts
 
 
@@ -61,8 +65,8 @@ def single_ref_p4_ctx(counts):
 
 
 def drl_ctx(stack, idx: int) -> int:
-    w0 = stack[idx][2]
-    w1 = stack[idx + 1][2]
+    w0 = stack[idx][-1]
+    w1 = stack[idx + 1][-1]
     if w0 >= M.REF_CAT_LEVEL and w1 < M.REF_CAT_LEVEL:
         return 1
     if w0 < M.REF_CAT_LEVEL and w1 < M.REF_CAT_LEVEL:
@@ -89,6 +93,110 @@ def write_ref_frame_last(enc, cdf, counts):
     _sym(enc, cdf, cdf.single_ref_cdf[single_ref_p4_ctx(counts)][3], 0)
 
 
+IS_BACKWARD = lambda r: r is not None and r >= M.BWDREF_FRAME
+
+
+def ref_mode_ctx(above, left):
+    """get_reference_mode_context (EbDecParseInterBlock.c:57).
+    above/left: None (unavailable) or (is_inter, ref0, ref1) with
+    ref1 = 0 for single-ref / intra neighbors."""
+    def second(nb):
+        return nb is not None and nb[2] >= 1
+
+    if above is not None and left is not None:
+        if not second(above) and not second(left):
+            return int(IS_BACKWARD(above[1]) and above[0]) ^ \
+                int(IS_BACKWARD(left[1]) and left[0])
+        if not second(above):
+            return 2 + int((above[0] and IS_BACKWARD(above[1])) or
+                           not above[0])
+        if not second(left):
+            return 2 + int((left[0] and IS_BACKWARD(left[1])) or
+                           not left[0])
+        return 4
+    nb = above if above is not None else left
+    if nb is not None:
+        if not second(nb):
+            return int(nb[0] and IS_BACKWARD(nb[1]))
+        return 3
+    return 1
+
+
+def comp_ref_type_ctx(above, left):
+    """svt_aom_get_comp_reference_type_context
+    (EbDecParseHelper.c:213).  Neighbor tuples as in ref_mode_ctx; all
+    our compound pairs are bidirectional (no unidir emission)."""
+    def second(nb):
+        return nb[2] >= 1
+
+    def uni(nb):
+        # has_uni_comp_refs: both refs on the same side
+        return second(nb) and not (IS_BACKWARD(nb[2]) ^
+                                   IS_BACKWARD(nb[1]))
+
+    if above is not None and left is not None:
+        a_intra = not above[0]
+        l_intra = not left[0]
+        if a_intra and l_intra:
+            return 2
+        if a_intra or l_intra:
+            nb = left if a_intra else above
+            if not second(nb):
+                return 2
+            return 1 + 2 * int(uni(nb))
+        a_sg = not second(above)
+        l_sg = not second(left)
+        frfa, frfl = above[1], left[1]
+        if a_sg and l_sg:
+            return 1 + 2 * int(not (IS_BACKWARD(frfa) ^
+                                    IS_BACKWARD(frfl)))
+        if l_sg or a_sg:
+            uni_rfc = uni(left) if a_sg else uni(above)
+            if not uni_rfc:
+                return 1
+            return 3 + int(not (IS_BACKWARD(frfa) ^ IS_BACKWARD(frfl)))
+        a_u, l_u = uni(above), uni(left)
+        if not a_u and not l_u:
+            return 0
+        if not a_u or not l_u:
+            return 2
+        return 3 + int(not ((frfa == M.BWDREF_FRAME) ^
+                            (frfl == M.BWDREF_FRAME)))
+    if above is not None or left is not None:
+        nb = above if above is not None else left
+        if not nb[0]:
+            return 2
+        if not second(nb):
+            return 2
+        return 4 * int(uni(nb))
+    return 2
+
+
+def comp_bwdref_p_ctx(counts):
+    return _ctx3(counts[5] + counts[6], counts[7])
+
+
+def write_comp_mode(enc, cdf, ctx: int, is_comp: bool):
+    """comp_mode symbol (REFERENCE_MODE_SELECT frames)."""
+    _sym(enc, cdf, cdf.comp_inter_cdf[ctx], int(is_comp))
+
+
+def write_comp_refs_last_altref(enc, cdf, above, left, counts):
+    """Signal the BIDIR pair (LAST, ALTREF)
+    (read_ref_frames compound branch, EbDecParseInterBlock.c:245)."""
+    _sym(enc, cdf, cdf.comp_ref_type_cdf[comp_ref_type_ctx(above, left)],
+         1)                                   # BIDIR_COMP_REFERENCE
+    _sym(enc, cdf, cdf.comp_ref_cdf[single_ref_p3_ctx(counts)][0], 0)
+    _sym(enc, cdf, cdf.comp_ref_cdf[single_ref_p4_ctx(counts)][1], 0)
+    _sym(enc, cdf, cdf.comp_bwdref_cdf[comp_bwdref_p_ctx(counts)][0], 1)
+
+
+def write_inter_compound_mode(enc, cdf, mode: int, mode_context: int):
+    ctx = M.compound_mode_ctx(mode_context)
+    _sym(enc, cdf, cdf.inter_compound_mode_cdf[ctx],
+         mode - M.NEAREST_NEARESTMV, 8)
+
+
 def write_inter_mode(enc, cdf, mode: int, mode_context: int):
     newmv_ctx = mode_context & M.NEWMV_CTX_MASK
     _sym(enc, cdf, cdf.newmv_cdf[newmv_ctx], int(mode != M.NEWMV))
@@ -103,13 +211,14 @@ def write_inter_mode(enc, cdf, mode: int, mode_context: int):
 
 
 def write_drl_idx(enc, cdf, mode: int, stack, num_found: int):
-    """ref_mv_idx is always 0 for NEWMV / effective NEAR = stack[1]."""
-    if mode == M.NEWMV:
+    """ref_mv_idx is always 0 for NEW(_NEW)MV / effective NEAR =
+    stack[1] (read_drl_idx, EbDecParseInterBlock.c:1179)."""
+    if mode in (M.NEWMV, M.NEW_NEWMV):
         for idx in range(2):
             if num_found > idx + 1:
                 _sym(enc, cdf, cdf.drl_cdf[drl_ctx(stack, idx)], 0)
                 return
-    if mode == M.NEARMV:
+    if M.has_nearmv(mode):
         for idx in range(1, 3):
             if num_found > idx + 1:
                 _sym(enc, cdf, cdf.drl_cdf[drl_ctx(stack, idx)], 0)
@@ -184,6 +293,35 @@ def read_ref_frame_single(dec, cdf, counts) -> int:
     return M.LAST_FRAME
 
 
+def read_comp_mode(dec, cdf, ctx: int) -> bool:
+    return bool(_rd(dec, cdf, cdf.comp_inter_cdf[ctx]))
+
+
+def read_comp_refs(dec, cdf, above, left, counts):
+    """Compound ref pair (BIDIR subset: fwd in {LAST}, bwd in
+    {ALTREF}); raises on pairs outside the emitted subset."""
+    t = _rd(dec, cdf,
+            cdf.comp_ref_type_cdf[comp_ref_type_ctx(above, left)])
+    if t == 0:
+        raise NotImplementedError("unidirectional compound")
+    bit = _rd(dec, cdf, cdf.comp_ref_cdf[single_ref_p3_ctx(counts)][0])
+    if bit:
+        raise NotImplementedError("LAST3/GOLDEN compound fwd ref")
+    bit1 = _rd(dec, cdf, cdf.comp_ref_cdf[single_ref_p4_ctx(counts)][1])
+    if bit1:
+        raise NotImplementedError("LAST2 compound fwd ref")
+    bwd = _rd(dec, cdf, cdf.comp_bwdref_cdf[comp_bwdref_p_ctx(counts)][0])
+    if not bwd:
+        raise NotImplementedError("BWDREF/ALTREF2 compound bwd ref")
+    return (M.LAST_FRAME, M.ALTREF_FRAME)
+
+
+def read_inter_compound_mode(dec, cdf, mode_context: int) -> int:
+    ctx = M.compound_mode_ctx(mode_context)
+    v = _rd(dec, cdf, cdf.inter_compound_mode_cdf[ctx], 8)
+    return M.NEAREST_NEARESTMV + v
+
+
 def read_inter_mode(dec, cdf, mode_context: int) -> int:
     if not _rd(dec, cdf, cdf.newmv_cdf[mode_context & M.NEWMV_CTX_MASK]):
         return M.NEWMV
@@ -197,7 +335,7 @@ def read_inter_mode(dec, cdf, mode_context: int) -> int:
 
 def read_drl_idx(dec, cdf, mode: int, stack, num_found: int) -> int:
     ref_mv_idx = 0
-    if mode == M.NEWMV:
+    if mode in (M.NEWMV, M.NEW_NEWMV):
         for idx in range(2):
             if num_found > idx + 1:
                 drl = _rd(dec, cdf, cdf.drl_cdf[drl_ctx(stack, idx)])
@@ -205,7 +343,7 @@ def read_drl_idx(dec, cdf, mode: int, stack, num_found: int) -> int:
                 if not drl:
                     return ref_mv_idx
                 ref_mv_idx = idx + 1
-    if mode == M.NEARMV:
+    if M.has_nearmv(mode):
         for idx in range(1, 3):
             if num_found > idx + 1:
                 drl = _rd(dec, cdf, cdf.drl_cdf[drl_ctx(stack, idx)])

@@ -38,10 +38,11 @@ SGR_R = [(2, 1)] * 10 + [(0, 1)] * 4 + [(2, 0)] * 2
 def default_ref_state():
     """Per-plane chained reference (reset at tile start,
     set_default_wiener/set_default_sgrproj)."""
+    # C truncates toward zero: (-96 + 31) / 2 == -32, not Python's -33
     return {"wiener_v": list(WIENER_TAP_MID),
             "wiener_h": list(WIENER_TAP_MID),
-            "sgr_xqd": [(SGRPROJ_PRJ_MIN0 + SGRPROJ_PRJ_MAX0) // 2,
-                        (SGRPROJ_PRJ_MIN1 + SGRPROJ_PRJ_MAX1) // 2]}
+            "sgr_xqd": [int((SGRPROJ_PRJ_MIN0 + SGRPROJ_PRJ_MAX0) / 2),
+                        int((SGRPROJ_PRJ_MIN1 + SGRPROJ_PRJ_MAX1) / 2)]}
 
 
 def _clamp(v, lo, hi):

@@ -79,6 +79,7 @@ class FrameConfig:
     ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
     allow_high_precision_mv: bool = False
     interpolation_filter: int = 0   # EIGHTTAP_REGULAR (frame-level)
+    reference_select: bool = False  # REFERENCE_MODE_SELECT (compound)
 
 
 def write_sequence_header_obu(cfg: SequenceConfig) -> bytes:
@@ -253,7 +254,7 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
     # read_tx_mode
     w.bit(1 if fr.tx_mode_select else 0)
     if is_inter:
-        w.bit(0)                    # reference_select (SINGLE_REFERENCE)
+        w.bit(1 if fr.reference_select else 0)
     # skip_mode: not allowed (no reference_select / order hints) → skip
     # allow_warped_motion: seq enable_warped_motion=0 → inferred 0
     w.bit(1 if fr.reduced_tx_set else 0)

@@ -154,7 +154,135 @@ def _sgr_search(src, dgd, ext, lam, bd, usize):
     return units
 
 
-def lr_search_frame(src_planes, cdef_planes, lam: float, bd: int = 8):
+# ------------------------------------------------------------------ #
+# Wiener: alternating separable least squares
+# (wiener_decompose_sep_sym, EbRestorationPick.c:906; float equivalent —
+# taps are quantized to the signalable grid and the final error is
+# measured with the normative integer filter, so solver precision only
+# affects RD quality, not conformance)
+# ------------------------------------------------------------------ #
+
+from ..ec.lr_syntax import (RESTORE_SWITCHABLE, RESTORE_WIENER,
+                            WIENER_TAP_MAX, WIENER_TAP_MIN)
+from ..ops.lr_frame import _wiener_kernel
+from ..ops.restoration import wiener_filter
+
+WIENER_BITS = 32.0
+
+
+def _solve_sym3(z, x):
+    """z: [7, N] filtered rows/cols; solve symmetric normalized 7-tap:
+    f[k]=f[6-k], f3 = 1-2(f0+f1+f2).  Returns float taps [7]."""
+    g = np.stack([z[0] + z[6], z[1] + z[5], z[2] + z[4]]) - 2 * z[3]
+    t = x - z[3]
+    A = g @ g.T
+    c = g @ t
+    try:
+        f3 = np.linalg.solve(A + 1e-6 * np.eye(3), c)
+    except np.linalg.LinAlgError:
+        return None
+    f = np.empty(7)
+    f[:3] = f3
+    f[4:] = f3[::-1]
+    f[3] = 1.0 - 2.0 * f3.sum()
+    return f
+
+
+def _wiener_solve_unit(src_w, ext_w, chroma: bool, iters: int = 5):
+    """Solve separable Wiener taps for one unit.  src_w [h, w];
+    ext_w [h+6, w+6].  Returns (taps_v3, taps_h3) coded taps or None."""
+    avg = ext_w.mean()
+    d = ext_w.astype(np.float64) - avg
+    x = (src_w.astype(np.float64) - avg).ravel()
+    h, w = src_w.shape
+    # start from the midpoint filter
+    fv = np.array([3, -7, 15, 106, 15, -7, 3], np.float64) / 128.0
+    fh = fv.copy()
+    for _ in range(iters):
+        # fix fh → rows convolved horizontally at each dy
+        zc = np.stack([
+            sum(fh[k] * d[dy:dy + h, k:k + w] for k in range(7)).ravel()
+            for dy in range(7)])
+        f = _solve_sym3(zc, x)
+        if f is not None:
+            fv = f
+        zr = np.stack([
+            sum(fv[k] * d[k:k + h, dx:dx + w] for k in range(7)).ravel()
+            for dx in range(7)])
+        f = _solve_sym3(zr, x)
+        if f is not None:
+            fh = f
+
+    def quant(fl, chroma):
+        t = np.round(fl * 128).astype(np.int64)
+        out = []
+        for i in range(3):
+            v = 0 if (chroma and i == 0) else int(
+                np.clip(t[i], WIENER_TAP_MIN[i], WIENER_TAP_MAX[i]))
+            out.append(v)
+        return out
+
+    return quant(fv, chroma), quant(fh, chroma)
+
+
+def wiener_refine(src, dgd, units, lam: float, usize: int,
+                  chroma: bool, bd: int = 8):
+    """Per-unit: solve Wiener taps, measure exact filtered error with
+    the normative kernel, and upgrade units where Wiener beats the
+    current choice (NONE or SGR) in RD.  Mutates/returns units."""
+    src = np.asarray(src, np.int64)
+    dgd_n = np.asarray(dgd, np.int64)
+    H, W = dgd_n.shape
+    uh, uw = unit_count(usize, H), unit_count(usize, W)
+    if uh * usize != H or uw * usize != W:
+        return units
+    ext = _pad3(dgd)
+    created = False
+    if units is None:
+        units = {"type": np.zeros((uh, uw), np.int32),
+                 "eps": np.zeros((uh, uw), np.int32),
+                 "xqd": np.zeros((uh, uw, 2), np.int32),
+                 "taps_v": np.zeros((uh, uw, 3), np.int32),
+                 "taps_h": np.zeros((uh, uw, 3), np.int32)}
+        created = True
+    for ur in range(uh):
+        for uc in range(uw):
+            r0, c0 = ur * usize, uc * usize
+            sw = src[r0:r0 + usize, c0:c0 + usize]
+            dw = dgd_n[r0:r0 + usize, c0:c0 + usize]
+            ew = ext[r0:r0 + usize + 6, c0:c0 + usize + 6]
+            taps = _wiener_solve_unit(sw, ew, chroma)
+            if taps is None:
+                continue
+            tv, th = taps
+            from ..ops.lr_frame import wiener_unit
+            flt = np.asarray(wiener_unit(
+                ew.astype(np.int32), jnp.asarray(_wiener_kernel(th)),
+                jnp.asarray(_wiener_kernel(tv)), bd), np.int64)
+            werr = float(((flt - sw) ** 2).sum())
+            cur = int(units["type"][ur, uc])
+            if cur == RESTORE_NONE:
+                cur_cost = float(((dw - sw) ** 2).sum()) + lam * NONE_BITS
+            else:
+                # keep SGR unless Wiener clearly wins: recompute SGR's
+                # exact error with the integer filter
+                from ..ops.lr_frame import sgr_unit
+                sf = np.asarray(sgr_unit(
+                    ew.astype(np.int32), int(units["eps"][ur, uc]),
+                    jnp.int32(units["xqd"][ur, uc, 0]),
+                    jnp.int32(units["xqd"][ur, uc, 1]), bd), np.int64)
+                cur_cost = float(((sf - sw) ** 2).sum()) + lam * SGR_BITS
+            if werr + lam * WIENER_BITS < cur_cost:
+                units["type"][ur, uc] = RESTORE_WIENER
+                units["taps_v"][ur, uc] = tv
+                units["taps_h"][ur, uc] = th
+    if created and not units["type"].any():
+        return None
+    return units
+
+
+def lr_search_frame(src_planes, cdef_planes, lam: float, bd: int = 8,
+                    wiener: bool = True):
     """Search all planes; returns (frame_types tuple, per-plane units
     list) — units[p] is None when the plane is NONE."""
     types = []
@@ -162,7 +290,19 @@ def lr_search_frame(src_planes, cdef_planes, lam: float, bd: int = 8):
     for p in range(3):
         usize = 64 if p == 0 else 32
         units = sgr_search(src_planes[p], cdef_planes[p], lam, usize, bd)
+        if wiener:
+            units = wiener_refine(src_planes[p], cdef_planes[p], units,
+                                  lam, usize, p > 0, bd)
         infos.append(units)
-        types.append(RESTORE_SGRPROJ if units is not None else
-                     RESTORE_NONE)
+        if units is None:
+            types.append(RESTORE_NONE)
+        else:
+            has_w = (units["type"] == RESTORE_WIENER).any()
+            has_s = (units["type"] == RESTORE_SGRPROJ).any()
+            if has_w and has_s:
+                types.append(RESTORE_SWITCHABLE)
+            elif has_w:
+                types.append(RESTORE_WIENER)
+            else:
+                types.append(RESTORE_SGRPROJ)
     return tuple(types), infos

@@ -75,11 +75,19 @@ def _argmin_offset(sads, r: int):
     return idx // n - r, idx % n - r
 
 
-@partial(jax.jit, static_argnames=("bs",))
-def motion_estimate(src, ref, bs: int = BLK):
+L3_RANGE = 12        # ±12 at 1/8 res → ±96 full-pel (long-range refs)
+
+
+@partial(jax.jit, static_argnames=("bs", "long_range"))
+def motion_estimate(src, ref, bs: int = BLK, long_range: bool = False):
     """src/ref [B, H, W] (uint8/int32 luma) → mv8 [B, bh, bw, 2] int32
     quarter-pel motion vectors (even 1/8-pel units), plus the full-pel SAD
-    [B, bh, bw] of the chosen position (analysis signal)."""
+    [B, bh, bw] of the chosen position (analysis signal).
+
+    long_range adds an HME level at 1/8 resolution (reference
+    hme_level_0's large search area, EbMotionEstimation.c:821) for
+    distant pyramid references — its winner competes with the ±64
+    standard path at the 1/4-res stage."""
     B, H, W = src.shape
     bh, bw = H // bs, W // bs
     N = bh * bw
@@ -94,7 +102,7 @@ def motion_estimate(src, ref, bs: int = BLK):
     src2 = downsample2x(downsample2x(src))
     ref2 = downsample2x(downsample2x(ref))
     bs2 = bs // 4
-    pad2 = L2_RANGE + 4
+    pad2 = 4 * L3_RANGE + L2_RANGE + 4
     ref2p = pad_plane(ref2, pad2)
     s2 = _blocks(src2, bs2)
     reg2 = _gather_regions(ref2p, r_idx // 4 - L2_RANGE,
@@ -105,12 +113,41 @@ def motion_estimate(src, ref, bs: int = BLK):
     n2 = 2 * L2_RANGE + 1
     mv2y = idx // n2 - L2_RANGE
     mv2x = idx % n2 - L2_RANGE
+    if long_range:
+        # HME L3: exhaustive at 1/8 res, refined ±2 at 1/4, competing
+        # with the standard-path winner by 1/4-res SAD
+        best2 = jnp.min(sad2.reshape(B, N, -1), axis=-1)
+        src3 = downsample2x(src2)
+        ref3 = downsample2x(ref2)
+        bs3 = bs // 8
+        pad3 = L3_RANGE + 4
+        ref3p = pad_plane(ref3, pad3)
+        s3 = _blocks(src3, bs3)
+        reg3 = _gather_regions(ref3p, r_idx // 8 - L3_RANGE,
+                               c_idx // 8 - L3_RANGE,
+                               bs3 + 2 * L3_RANGE, pad3)
+        sad3 = _sad_exhaustive(s3, reg3, bs3, L3_RANGE)
+        idx3 = jnp.argmin(sad3.reshape(B, N, -1), axis=-1)
+        n3 = 2 * L3_RANGE + 1
+        mv3y = idx3 // n3 - L3_RANGE
+        mv3x = idx3 % n3 - L3_RANGE
+        y2 = r_idx // 4 + 2 * mv3y - 2
+        x2 = c_idx // 4 + 2 * mv3x - 2
+        reg2b = _gather_regions(ref2p, y2, x2, bs2 + 4, pad2)
+        sref2 = _sad_refine(s2, reg2b, bs2, 2)
+        dy2, dx2 = _argmin_offset(sref2, 2)
+        cand_y = 2 * mv3y + dy2
+        cand_x = 2 * mv3x + dx2
+        cand_sad = jnp.min(sref2, axis=-1)
+        take = cand_sad < best2
+        mv2y = jnp.where(take, cand_y, mv2y)
+        mv2x = jnp.where(take, cand_x, mv2x)
 
     # --- HME L1: ±2 refinement at 1/2 resolution ----------------------- #
     src1 = downsample2x(src)
     ref1 = downsample2x(ref)
     bs1 = bs // 2
-    pad1 = 2 * L2_RANGE + 8
+    pad1 = 2 * L2_RANGE + 8 + (8 * L3_RANGE if long_range else 0)
     ref1p = pad_plane(ref1, pad1)
     s1 = _blocks(src1, bs1)
     y1 = r_idx // 2 + 2 * mv2y - 2
@@ -121,7 +158,7 @@ def motion_estimate(src, ref, bs: int = BLK):
     mv1x = 2 * mv2x + dx
 
     # --- full-pel: ±2 refinement at full resolution -------------------- #
-    pad0 = 4 * L2_RANGE + 16
+    pad0 = 4 * L2_RANGE + 16 + (16 * L3_RANGE if long_range else 0)
     ref0p = pad_plane(ref, pad0)
     s0 = _blocks(src, bs)
     y0f = r_idx + 2 * mv1y - 2

@@ -33,7 +33,7 @@ class TileCoder:
     def __init__(self, width, height, qindex, cdf_update, kf: bool,
                  cdf_init=None, mi_col_off: int = 0,
                  frame_mi_cols: int = None, cdef_bits: int = 0,
-                 cdef_idx=None):
+                 cdef_idx=None, comp: bool = False):
         self.w, self.h = width, height
         self.kf = kf
         self.mi_col_off = mi_col_off
@@ -57,6 +57,10 @@ class TileCoder:
         self.cdef_idx = cdef_idx
         self.cdef_bits = cdef_bits
         self._cdef_pending = False
+        # compound frame (REFERENCE_MODE_SELECT, pair = LAST+ALTREF):
+        # inter candidate lanes are [single NEWMV, single zero,
+        # comp NEW_NEW, comp zero]; mv arrays carry 4 components
+        self.comp = comp
         # loop restoration: lr_types per plane (frame restoration type),
         # lr_units per plane = dict of [sb_rows, sb_cols(,k)] arrays
         # (type/eps/xqd/taps_v/taps_h), tile-local SB coords.  Coded at
@@ -197,27 +201,81 @@ class TileCoder:
                               IM.intra_inter_ctx(above_inter, left_inter),
                               is_inter)
             if is_inter:
-                a_ref = int(grid.ref0[mi_r - 1, mi_c]) if have_above \
-                    else None
-                l_ref = int(grid.ref0[mi_r, mi_c - 1]) if have_left else None
-                counts = IM.neighbor_ref_counts(
-                    a_ref if (a_ref or 0) >= 1 else None,
-                    l_ref if (l_ref or 0) >= 1 else None)
-                IM.write_ref_frame_last(enc, cdf, counts)
-                mvv = ((int(mv[0]), int(mv[1]))
-                       if idx == n_intra else (0, 0))
-                res = find_mv_stack(grid, mi_r, mi_c, bw4, bw4,
-                                    mi_col_off=self.mi_col_off,
-                                    frame_mi_cols=self.frame_mi_cols)
-                mode, ref_mv = choose_inter_mode(mvv, res)
-                IM.write_inter_mode(enc, cdf, mode, res.mode_context)
-                if mode in (MV.NEWMV, MV.NEARMV):
-                    IM.write_drl_idx(enc, cdf, mode, res.stack,
-                                     res.num_found)
-                if mode == MV.NEWMV:
-                    IM.write_mv(enc, cdf, mvv, ref_mv)
-                grid.set_block(mi_r, mi_c, bw4, bw4, MV.LAST_FRAME, mode,
-                               mvv[0], mvv[1])
+                def nb_ref(r, c, avail):
+                    if not avail:
+                        return None
+                    r0 = int(grid.ref0[r, c])
+                    if r0 < 1:
+                        return None
+                    r1 = int(grid.ref1[r, c])
+                    return (r0, r1) if r1 >= 1 else r0
+
+                a_ref = nb_ref(mi_r - 1, mi_c, have_above)
+                l_ref = nb_ref(mi_r, mi_c - 1, have_left)
+                counts = IM.neighbor_ref_counts(a_ref, l_ref)
+                lane = idx - n_intra
+                is_comp = self.comp and lane >= 2
+                if self.comp:
+                    def nb_info(r, c, avail):
+                        if not avail:
+                            return None
+                        return (grid.ref0[r, c] >= 1,
+                                int(grid.ref0[r, c]),
+                                int(grid.ref1[r, c]))
+                    a_i = nb_info(mi_r - 1, mi_c, have_above)
+                    l_i = nb_info(mi_r, mi_c - 1, have_left)
+                    IM.write_comp_mode(enc, cdf,
+                                       IM.ref_mode_ctx(a_i, l_i),
+                                       is_comp)
+                if is_comp:
+                    IM.write_comp_refs_last_altref(enc, cdf, a_i, l_i,
+                                                   counts)
+                    mvp = (tuple(int(v) for v in mv[:4])
+                           if lane == 2 else (0, 0, 0, 0))
+                    res = find_mv_stack(
+                        grid, mi_r, mi_c, bw4, bw4,
+                        ref_frame=(MV.LAST_FRAME, MV.ALTREF_FRAME),
+                        mi_col_off=self.mi_col_off,
+                        frame_mi_cols=self.frame_mi_cols)
+                    s0 = res.ref_list[0]
+                    p0 = (MV.lower_mv_precision(s0[0], s0[1]) +
+                          MV.lower_mv_precision(s0[2], s0[3]))
+                    if mvp == p0:
+                        cmode = MV.NEAREST_NEARESTMV
+                    elif mvp == (0, 0, 0, 0):
+                        cmode = MV.GLOBAL_GLOBALMV
+                    else:
+                        cmode = MV.NEW_NEWMV
+                    IM.write_inter_compound_mode(enc, cdf, cmode,
+                                                 res.mode_context)
+                    if cmode == MV.NEW_NEWMV:
+                        IM.write_drl_idx(enc, cdf, cmode, res.stack,
+                                         res.num_found)
+                        # pred = precision-lowered stack entry (spec
+                        # assign_mv lower_mv_precision on PredMv)
+                        IM.write_mv(enc, cdf, mvp[:2], p0[:2])
+                        IM.write_mv(enc, cdf, mvp[2:], p0[2:])
+                    grid.set_block(mi_r, mi_c, bw4, bw4, MV.LAST_FRAME,
+                                   cmode, mvp[0], mvp[1],
+                                   ref1=MV.ALTREF_FRAME, mv1r=mvp[2],
+                                   mv1c=mvp[3])
+                    mode = cmode
+                else:
+                    IM.write_ref_frame_last(enc, cdf, counts)
+                    mvv = ((int(mv[0]), int(mv[1]))
+                           if lane == 0 else (0, 0))
+                    res = find_mv_stack(grid, mi_r, mi_c, bw4, bw4,
+                                        mi_col_off=self.mi_col_off,
+                                        frame_mi_cols=self.frame_mi_cols)
+                    mode, ref_mv = choose_inter_mode(mvv, res)
+                    IM.write_inter_mode(enc, cdf, mode, res.mode_context)
+                    if mode in (MV.NEWMV, MV.NEARMV):
+                        IM.write_drl_idx(enc, cdf, mode, res.stack,
+                                         res.num_found)
+                    if mode == MV.NEWMV:
+                        IM.write_mv(enc, cdf, mvv, ref_mv)
+                    grid.set_block(mi_r, mi_c, bw4, bw4, MV.LAST_FRAME,
+                                   mode, mvv[0], mvv[1])
             else:
                 mode, delta = cands[idx]
                 y_mode = mode

@@ -37,11 +37,9 @@ def choose_inter_mode(mv, res):
         return MV.NEARMV, None
     if mv[0] == 0 and mv[1] == 0:
         return MV.GLOBALMV, None
-    # NEWMV predictor: stack[0] raw when the stack is non-empty, else the
-    # (lower-precisioned) global fallback — identical to the decoder's
-    # ref_mv selection because every coded mv is quarter-pel already.
-    ref_mv = res.ref_list[0]
-    return MV.NEWMV, ref_mv
+    # NEWMV predictor: precision-lowered stack[0] (spec assign_mv applies
+    # lower_mv_precision to PredMv) == res.nearest_mv.
+    return MV.NEWMV, res.nearest_mv
 
 
 def _dc_sign_ctx(a_cul, a_avail, l_cul, l_avail) -> int:

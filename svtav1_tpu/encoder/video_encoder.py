@@ -61,6 +61,7 @@ class VideoEncoder:
         self._buf = []                # pending source frames (lookahead)
         self._slots = {}              # DPB slot -> (y, u, v) recon
         self._slot_cdf = {}           # DPB slot -> frame-end CDF snapshot
+        self._slot_t = {}             # DPB slot -> display index
         self._anchor_slot = 0
 
     # -------------------------------------------------------------- #
@@ -100,6 +101,7 @@ class VideoEncoder:
                 rec = tuple(np.asarray(p) for p in rs[0])
                 self._slots = {0: rec}
                 self._slot_cdf = {}
+                self._slot_t = {0: self._idx}
                 self._anchor_slot = 0
                 self._idx += 1
                 payloads += ps
@@ -143,18 +145,44 @@ class VideoEncoder:
         return best
 
     def _encode_ref_frame(self, frame, cand_slots, q, refresh_slot,
-                          show):
+                          show, t=0, refresh_t=0):
         y, u, v = frame
-        slot = self._pick_ref(y, cand_slots)
-        hdr = dict(show_frame=show,
-                   refresh_frame_flags=1 << refresh_slot,
-                   ref_frame_idx=(slot,) * 7)
-        payload, rec, snap = self._encode_p(
-            y, u, v, ref=self._slots[slot], qindex=q,
-            cdf_init=self._slot_cdf.get(slot), hdr_extra=hdr)
+        use_comp = (len(cand_slots) == 2 and self.cfg.part_search and
+                    cand_slots[0] != cand_slots[1])
+        if use_comp:
+            # compound B frame: LAST = interval-low anchor, ALTREF =
+            # interval-high anchor; CDF chain from the SAD-closer one
+            lo, hi = cand_slots
+            chain = self._pick_ref(y, cand_slots)
+            rfi = [lo] * 7
+            rfi[6] = hi
+            has_cdf = self._slot_cdf.get(chain) is not None
+            hdr = dict(show_frame=show,
+                       refresh_frame_flags=1 << refresh_slot,
+                       ref_frame_idx=tuple(rfi), reference_select=True,
+                       primary_ref_frame=((0 if chain == lo else 6)
+                                          if has_cdf else 7))
+            d0 = max(1, abs(refresh_t - self._slot_t.get(lo, refresh_t)))
+            d1 = max(1, abs(refresh_t - self._slot_t.get(hi, refresh_t)))
+            payload, rec, snap = self._encode_p(
+                y, u, v, ref=self._slots[lo], qindex=q,
+                cdf_init=self._slot_cdf.get(chain), hdr_extra=hdr,
+                ref_dist=d0, ref2=self._slots[hi], ref2_dist=d1)
+        else:
+            slot = self._pick_ref(y, cand_slots)
+            hdr = dict(show_frame=show,
+                       refresh_frame_flags=1 << refresh_slot,
+                       ref_frame_idx=(slot,) * 7)
+            dist = max(1, abs(refresh_t -
+                              self._slot_t.get(slot, refresh_t)))
+            payload, rec, snap = self._encode_p(
+                y, u, v, ref=self._slots[slot], qindex=q,
+                cdf_init=self._slot_cdf.get(slot), hdr_extra=hdr,
+                ref_dist=dist)
         rec = tuple(np.asarray(p) for p in rec)
         self._slots[refresh_slot] = rec
         self._slot_cdf[refresh_slot] = snap
+        self._slot_t[refresh_slot] = refresh_t
         return payload, rec
 
     def _encode_gop(self, gframes):
@@ -165,27 +193,30 @@ class VideoEncoder:
         display order (reference: overlay pictures + prediction
         structure, EbPictureDecisionProcess.c)."""
         G = len(gframes)
+        t0 = self._idx - 1            # display time of the lo anchor
         lo = self._anchor_slot
         hi = 1 - lo if lo in (0, 1) else 0
         out_p, out_r = [], [None] * G
         if G == 1:
             p, rec = self._encode_ref_frame(gframes[0], [lo],
-                                            self._layer_q(0), hi, True)
+                                            self._layer_q(0), hi, True,
+                                            refresh_t=t0 + 1)
             self._anchor_slot = hi
             self._idx += 1
             return [p], [rec]
         p, rec = self._encode_ref_frame(gframes[-1], [lo],
-                                        self._layer_q(0), hi, False)
+                                        self._layer_q(0), hi, False,
+                                        refresh_t=t0 + G)
         out_p.append(p)
         out_r[G - 1] = rec
-        self._bisect(gframes, 0, lo, G, hi, 0, out_p, out_r)
+        self._bisect(gframes, 0, lo, G, hi, 0, out_p, out_r, t0)
         out_p.append(assemble_show_existing(hi))
         self._anchor_slot = hi
         self._idx += G
         return out_p, out_r
 
     def _bisect(self, gframes, lo_i, lo_slot, hi_i, hi_slot, depth,
-                out_p, out_r):
+                out_p, out_r, t0):
         if hi_i - lo_i <= 1:
             return
         mid = (lo_i + hi_i) // 2
@@ -193,14 +224,14 @@ class VideoEncoder:
         p, rec = self._encode_ref_frame(gframes[mid - 1],
                                         [lo_slot, hi_slot],
                                         self._layer_q(depth + 1), slot,
-                                        False)
+                                        False, refresh_t=t0 + mid)
         out_p.append(p)
         out_r[mid - 1] = rec
         self._bisect(gframes, lo_i, lo_slot, mid, slot, depth + 1,
-                     out_p, out_r)
+                     out_p, out_r, t0)
         out_p.append(assemble_show_existing(slot))
         self._bisect(gframes, mid, slot, hi_i, hi_slot, depth + 1,
-                     out_p, out_r)
+                     out_p, out_r, t0)
 
     def encode_frame(self, y, u, v):
         if self._idx % self.keyint == 0 or self._dpb is None:
@@ -231,10 +262,14 @@ class VideoEncoder:
     # -------------------------------------------------------------- #
 
     def _encode_p(self, y, u, v, ref=None, qindex=None,
-                  cdf_init="chain", hdr_extra=None):
+                  cdf_init="chain", hdr_extra=None, ref_dist=1,
+                  ref2=None, ref2_dist=1):
         if self.cfg.part_search:
             return self._encode_p_part(y, u, v, ref, qindex, cdf_init,
-                                       hdr_extra)
+                                       hdr_extra, ref_dist, ref2,
+                                       ref2_dist)
+        if ref2 is not None:
+            raise NotImplementedError("compound needs part_search")
         cfg = self.cfg
         q = cfg.qindex if qindex is None else qindex
         chain = cdf_init == "chain"
@@ -251,7 +286,8 @@ class VideoEncoder:
         rvp = pad_plane(jnp.asarray(rv)[None].astype(jnp.int32))
 
         mv8, _sad = motion_estimate(jnp.asarray(y)[None],
-                                    jnp.asarray(ry)[None], BLK)
+                                    jnp.asarray(ry)[None], BLK,
+                                    long_range=ref_dist > 4)
         mv8f = mv8.reshape(1, N, 2)
         y0 = (jnp.arange(N) // bw * BLK)[None]
         x0 = (jnp.arange(N) % bw * BLK)[None]
@@ -315,7 +351,9 @@ class VideoEncoder:
         tile, end_cdf = encode_inter_tile(
             w, h, q, cfg.cdf_update, y_mi, y_lev, u_lev, v_lev,
             mv_np, cands, n_intra, cdf_init=cdf0)
-        primary_ref = 0 if cdf0 is not None else 7
+        hdr_extra = dict(hdr_extra or {})
+        primary_ref = hdr_extra.pop("primary_ref_frame",
+                                    0 if cdf0 is not None else 7)
         fr = FrameConfig(frame_type=1, base_q_idx=q,
                          disable_cdf_update=not cfg.cdf_update,
                          disable_frame_end_update_cdf=not cfg.cdf_update,
@@ -335,7 +373,8 @@ class VideoEncoder:
     # -------------------------------------------------------------- #
 
     def _encode_p_part(self, y, u, v, ref=None, qindex=None,
-                       cdf_init="chain", hdr_extra=None):
+                       cdf_init="chain", hdr_extra=None, ref_dist=1,
+                       ref2=None, ref2_dist=1):
         """P frame with the 32-vs-16 partition decision: separate ME at
         both block sizes, inter candidates at both depths of the
         two-depth wavefront, chroma partition forced by luma.
@@ -365,8 +404,19 @@ class VideoEncoder:
 
         yj = jnp.asarray(y)[None]
         rj = jnp.asarray(ry)[None]
-        mv32, _ = motion_estimate(yj, rj, BLK)           # [1,bh,bw,2]
-        mv16, _ = motion_estimate(yj, rj, 16)            # [1,2bh,2bw,2]
+        lr_me = ref_dist > 4
+        mv32, _ = motion_estimate(yj, rj, BLK, long_range=lr_me)
+        mv16, _ = motion_estimate(yj, rj, 16, long_range=lr_me)
+        comp = ref2 is not None
+        if comp:
+            ry2, ru2, rv2 = ref2
+            r2yp = pad_plane(jnp.asarray(ry2)[None].astype(jnp.int32))
+            r2up = pad_plane(jnp.asarray(ru2)[None].astype(jnp.int32))
+            r2vp = pad_plane(jnp.asarray(rv2)[None].astype(jnp.int32))
+            rj2 = jnp.asarray(ry2)[None]
+            lr2 = ref2_dist > 4
+            mv32b, _ = motion_estimate(yj, rj2, BLK, long_range=lr2)
+            mv16b, _ = motion_estimate(yj, rj2, 16, long_range=lr2)
 
         y0 = (jnp.arange(N) // bw * BLK)[None]
         x0 = (jnp.arange(N) % bw * BLK)[None]
@@ -375,8 +425,19 @@ class VideoEncoder:
                                         bd)
         pred_zero = predict_inter_blocks(ryp, y0, x0, jnp.zeros_like(mv32f),
                                          h, w, BLK, 0, bd)
-        extra_top = jnp.stack([pred_new, pred_zero],
-                              1).reshape(1, 2, bh, bw, BLK, BLK)
+        top_lanes = [pred_new, pred_zero]
+        if comp:
+            from ..ops.mc import predict_inter_blocks_compound
+            mv32bf = mv32b.reshape(1, N, 2)
+            pc_new = predict_inter_blocks_compound(
+                ryp, r2yp, y0, x0, mv32f, mv32bf, h, w, BLK, 0, bd)
+            pc_zero = predict_inter_blocks_compound(
+                ryp, r2yp, y0, x0, jnp.zeros_like(mv32f),
+                jnp.zeros_like(mv32bf), h, w, BLK, 0, bd)
+            top_lanes += [pc_new, pc_zero]
+        n_lanes = len(top_lanes)
+        extra_top = jnp.stack(top_lanes, 1).reshape(
+            1, n_lanes, bh, bw, BLK, BLK)
 
         # sub-block (16x16) inter candidates, z-order within each 32 block
         mv16z = mv16.reshape(1, bh, 2, bw, 2, 2).transpose(0, 1, 3, 2, 4, 5)
@@ -395,19 +456,40 @@ class VideoEncoder:
         p16_zero = predict_inter_blocks(ryp, sy0[None], sx0[None],
                                         jnp.zeros_like(mvsf), h, w, 16, 0,
                                         bd)
-        extra_sub = jnp.stack([p16_new, p16_zero],
-                              1).reshape(1, 2, bh, bw, 4, 16, 16)
+        sub_lanes = [p16_new, p16_zero]
+        if comp:
+            mv16zb = mv16b.reshape(1, bh, 2, bw, 2, 2).transpose(
+                0, 1, 3, 2, 4, 5).reshape(1, bh, bw, 4, 2)
+            mvsfb = mv16zb.reshape(1, N * 4, 2)
+            pc16_new = predict_inter_blocks_compound(
+                ryp, r2yp, sy0[None], sx0[None], mvsf, mvsfb, h, w, 16,
+                0, bd)
+            pc16_zero = predict_inter_blocks_compound(
+                ryp, r2yp, sy0[None], sx0[None], jnp.zeros_like(mvsf),
+                jnp.zeros_like(mvsfb), h, w, 16, 0, bd)
+            sub_lanes += [pc16_new, pc16_zero]
+        extra_sub = jnp.stack(sub_lanes, 1).reshape(
+            1, n_lanes, bh, bw, 4, 16, 16)
 
-        amv = jnp.abs(mv32.astype(jnp.float32))
-        r_new = 14.0 + 2.5 * (jnp.log2(1.0 + amv[..., 0]) +
-                              jnp.log2(1.0 + amv[..., 1]))
+        def _mv_rate(m):
+            a = jnp.abs(m.astype(jnp.float32))
+            return 2.5 * (jnp.log2(1.0 + a[..., 0]) +
+                          jnp.log2(1.0 + a[..., 1]))
+
+        r_new = 14.0 + _mv_rate(mv32)
         r_zero = jnp.full((1, bh, bw), 6.0, jnp.float32)
-        rate_top = jnp.stack([r_new, r_zero], 1)
+        rates_top = [r_new, r_zero]
         amv16 = jnp.abs(mv16z.astype(jnp.float32))
-        rs_new = 14.0 + 2.5 * (jnp.log2(1.0 + amv16[..., 0]) +
-                               jnp.log2(1.0 + amv16[..., 1]))
+        rs_new = 14.0 + _mv_rate(mv16z)
         rs_zero = jnp.full((1, bh, bw, 4), 6.0, jnp.float32)
-        rate_sub = jnp.stack([rs_new, rs_zero], 1)
+        rates_sub = [rs_new, rs_zero]
+        if comp:
+            rates_top += [22.0 + _mv_rate(mv32) + _mv_rate(mv32b),
+                          jnp.full((1, bh, bw), 9.0, jnp.float32)]
+            rates_sub += [22.0 + _mv_rate(mv16z) + _mv_rate(mv16zb),
+                          jnp.full((1, bh, bw, 4), 9.0, jnp.float32)]
+        rate_top = jnp.stack(rates_top, 1)
+        rate_sub = jnp.stack(rates_sub, 1)
         # tile columns ride the batch axis (slices of every block-grid
         # tensor along bw; MC extras were computed with frame coords)
         T = cfg.tile_cols
@@ -433,25 +515,42 @@ class VideoEncoder:
         mv16z_t = tstack(mv16z, 2)
         ones = jnp.ones((T, bh, bw_t), bool)
         ones4 = jnp.ones((T, bh, bw_t, 4), bool)
-        ok_top = jnp.ones((T, 2, bh, bw_t), bool)
-        ok_sub = jnp.ones((T, 2, bh, bw_t, 4), bool)
+        ok_top = jnp.ones((T, n_lanes, bh, bw_t), bool)
+        ok_sub = jnp.ones((T, n_lanes, bh, bw_t, 4), bool)
         free = jnp.full((T, bh, bw_t), -1, jnp.int32)
 
         part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec = \
             encode_plane_wavefront_part(
                 src_t, BLK, TX_32X32, TX_16X16, q,
                 extra_top_t, rate_top_t, extra_sub_t, rate_sub_t, ok_top,
-                ok_sub, ones, ones4, free, 2, P_INTRA_MODES, SUB_MODES, bd,
-                tuple(cfg.angle_deltas), False, cfg.tx_search)
+                ok_sub, ones, ones4, free, n_lanes, P_INTRA_MODES,
+                SUB_MODES, bd, tuple(cfg.angle_deltas), False,
+                cfg.tx_search)
 
         cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
         cands_sub = expand_candidates(SUB_MODES, (0,))
         n_i_top = len(cands)
         n_i_sub = len(cands_sub)
         top_inter = y_mi >= n_i_top
-        mv_top_f = jnp.where((y_mi == n_i_top)[..., None], mv32_t, 0)
         sub_inter = y_smi >= n_i_sub
-        mv_sub_f = jnp.where((y_smi == n_i_sub)[..., None], mv16z_t, 0)
+        if comp:
+            mv32b_t = tstack(mv32b, 2)
+            mv16zb_t = tstack(mv16zb, 2)
+            lane_t = y_mi - n_i_top          # <0 intra
+            lane_s = y_smi - n_i_sub
+            mv_top_f = jnp.concatenate([
+                jnp.where((lane_t == 0)[..., None], mv32_t,
+                          jnp.where((lane_t == 2)[..., None], mv32_t, 0)),
+                jnp.where((lane_t == 2)[..., None], mv32b_t, 0)], -1)
+            mv_sub_f = jnp.concatenate([
+                jnp.where((lane_s == 0)[..., None], mv16z_t,
+                          jnp.where((lane_s == 2)[..., None], mv16z_t,
+                                    0)),
+                jnp.where((lane_s == 2)[..., None], mv16zb_t, 0)], -1)
+        else:
+            mv_top_f = jnp.where((y_mi == n_i_top)[..., None], mv32_t, 0)
+            mv_sub_f = jnp.where((y_smi == n_i_sub)[..., None], mv16z_t,
+                                 0)
 
         # chroma: top 16x16 (part NONE) or 8x8 subs (SPLIT), mv from luma
         y0c, x0c = y0 // 2, x0 // 2
@@ -461,18 +560,40 @@ class VideoEncoder:
                 return a
             parts = [a[t:t + 1] for t in range(T)]
             return jnp.concatenate(parts, axis=axis)
-        mv_top_fr = tunstack(mv_top_f, 2)                # [1, bh, bw, 2]
+        mv_top_fr = tunstack(mv_top_f, 2)          # [1, bh, bw, 2 or 4]
         mv_sub_fr = tunstack(mv_sub_f, 2)
-        mv_top_cf = mv_top_fr.reshape(1, N, 2)
-        pu_t = predict_inter_blocks(rup, y0c, x0c, mv_top_cf, h, w, CBLK,
-                                    1, bd)
-        pv_t = predict_inter_blocks(rvp, y0c, x0c, mv_top_cf, h, w, CBLK,
-                                    1, bd)
-        mv_sub_cf = mv_sub_fr.reshape(1, N * 4, 2)
+        nmv = 4 if comp else 2
+        mv_top_cf = mv_top_fr.reshape(1, N, nmv)
+        pu_t = predict_inter_blocks(rup, y0c, x0c, mv_top_cf[..., :2], h,
+                                    w, CBLK, 1, bd)
+        pv_t = predict_inter_blocks(rvp, y0c, x0c, mv_top_cf[..., :2], h,
+                                    w, CBLK, 1, bd)
+        mv_sub_cf = mv_sub_fr.reshape(1, N * 4, nmv)
         pu_s = predict_inter_blocks(rup, (sy0 // 2)[None], (sx0 // 2)[None],
-                                    mv_sub_cf, h, w, 8, 1, bd)
+                                    mv_sub_cf[..., :2], h, w, 8, 1, bd)
         pv_s = predict_inter_blocks(rvp, (sy0 // 2)[None], (sx0 // 2)[None],
-                                    mv_sub_cf, h, w, 8, 1, bd)
+                                    mv_sub_cf[..., :2], h, w, 8, 1, bd)
+        if comp:
+            lane_tf = tunstack(lane_t, 2).reshape(1, N)
+            lane_sf = tunstack(lane_s, 2).reshape(1, N * 4)
+            ct = (lane_tf >= 2)
+            cs = (lane_sf >= 2)
+            puc_t = predict_inter_blocks_compound(
+                rup, r2up, y0c, x0c, mv_top_cf[..., :2],
+                mv_top_cf[..., 2:], h, w, CBLK, 1, bd)
+            pvc_t = predict_inter_blocks_compound(
+                rvp, r2vp, y0c, x0c, mv_top_cf[..., :2],
+                mv_top_cf[..., 2:], h, w, CBLK, 1, bd)
+            puc_s = predict_inter_blocks_compound(
+                rup, r2up, (sy0 // 2)[None], (sx0 // 2)[None],
+                mv_sub_cf[..., :2], mv_sub_cf[..., 2:], h, w, 8, 1, bd)
+            pvc_s = predict_inter_blocks_compound(
+                rvp, r2vp, (sy0 // 2)[None], (sx0 // 2)[None],
+                mv_sub_cf[..., :2], mv_sub_cf[..., 2:], h, w, 8, 1, bd)
+            pu_t = jnp.where(ct[..., None, None], puc_t, pu_t)
+            pv_t = jnp.where(ct[..., None, None], pvc_t, pv_t)
+            pu_s = jnp.where(cs[..., None, None], puc_s, pu_s)
+            pv_s = jnp.where(cs[..., None, None], pvc_s, pv_s)
         c_ok_top = top_inter[:, None]
         c_ok_sub = sub_inter[:, None]
         c_rate = jnp.zeros((T, 1, bh, bw_t), jnp.float32)
@@ -548,13 +669,29 @@ class VideoEncoder:
                 y_rec_n, u_rec_n, v_rec_n = lr_apply_frame(
                     (y_rec_n, u_rec_n, v_rec_n), db_planes, lr_infos, bd)
 
+        import os as _os
+        if _os.environ.get("SVT_DUMP_DIR"):
+            import pickle
+            _n = len([f for f in _os.listdir(_os.environ["SVT_DUMP_DIR"])
+                      if f.startswith("pframe_")])
+            with open(_os.path.join(_os.environ["SVT_DUMP_DIR"],
+                                    f"pframe_{_n:03d}.pkl"), "wb") as _f:
+                pickle.dump(dict(
+                    part=part_n, y_mi=y_mi_n, y_lev=y_lev_n,
+                    u_lev=u_lev_n, v_lev=v_lev_n, y_smi=y_smi_n,
+                    y_slev=y_slev_n, u_slev=u_slev_n, v_slev=v_slev_n,
+                    mv_t=mv_t_n, mv_s=mv_s_n, y_stx=y_stx_n,
+                    cands=cands, cands_sub=cands_sub, n_i_top=n_i_top,
+                    n_i_sub=n_i_sub, comp=comp, q=q, w=w, h=h, lf=lf,
+                    cdf0=cdf0, hdr_extra=dict(hdr_extra or {}),
+                    cdf_update=cfg.cdf_update, T=T), _f)
         tw_px = w // T
         sbw_t = tw_px // 64
         tiles = []
         end_cdf = None
         for t in range(T):
             tc = TileCoder(tw_px, h, q, cfg.cdf_update, kf=False,
-                           cdf_init=cdf0,
+                           cdf_init=cdf0, comp=comp,
                            mi_col_off=t * tw_px // 4,
                            frame_mi_cols=w // 4,
                            cdef_bits=(cdef_params["bits"]
@@ -575,7 +712,9 @@ class VideoEncoder:
             tiles.append(tile)
             if t == 0:
                 end_cdf = tcdf
-        primary_ref = 0 if cdf0 is not None else 7
+        hdr_extra = dict(hdr_extra or {})
+        primary_ref = hdr_extra.pop("primary_ref_frame",
+                                    0 if cdf0 is not None else 7)
         fr = FrameConfig(frame_type=1, base_q_idx=q,
                          disable_cdf_update=not cfg.cdf_update,
                          disable_frame_end_update_cdf=not cfg.cdf_update,

@@ -25,9 +25,25 @@ single implementation defines the normative output.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .restoration import apply_sgr, wiener_filter
+
+
+@partial(jax.jit, static_argnames=("eps", "bd"))
+def sgr_unit(ext, eps: int, xqd0, xqd1, bd: int):
+    """Jitted per-window SGR (xqd traced: one compile per shape/eps)."""
+    return apply_sgr(ext, eps, xqd0, xqd1, bd)
+
+
+@partial(jax.jit, static_argnames=("bd",))
+def wiener_unit(ext, kh, kv, bd: int):
+    """Jitted per-window Wiener (taps traced: one compile per shape)."""
+    return wiener_filter(ext, kh, kv, bd)
 
 BORDER = 3
 CTX = 2                    # saved deblock rows per stripe edge
@@ -42,6 +58,16 @@ def _unit_range(i: int, n: int, size: int, extent: int):
     """Pixel span of unit i of n along one axis (last absorbs tail)."""
     lo = i * size
     hi = extent if i == n - 1 else (i + 1) * size
+    return lo, hi
+
+
+def _unit_range_v(i: int, n: int, size: int, extent: int, off: int):
+    """Vertical span of unit row i: shifted up by the stripe offset so
+    unit rows align with processing stripes
+    (foreach_rest_unit_in_tile, EbRestoration.c:1266-1273: v_start/v_end
+    -= RESTORATION_UNIT_OFFSET except at the frame edges)."""
+    lo = max(0, i * size - off)
+    hi = extent if i == n - 1 else (i + 1) * size - off
     return lo, hi
 
 
@@ -123,7 +149,7 @@ def lr_apply_plane(cdef: np.ndarray, db: np.ndarray, units: dict,
         for uc in range(uw):
             # units whose row range intersects this stripe, per column
             for ur in range(uh):
-                r0, r1 = _unit_range(ur, uh, usize, H)
+                r0, r1 = _unit_range_v(ur, uh, usize, H, off)
                 if r1 <= y0 or r0 >= y1:
                     continue
                 t = int(types[ur, uc])
@@ -137,13 +163,14 @@ def lr_apply_plane(cdef: np.ndarray, db: np.ndarray, units: dict,
                 win = ext[ry0 - y0:ry1 - y0 + 2 * BORDER,
                           c0:c1 + 2 * BORDER]
                 if t == RESTORE_SGRPROJ:
-                    flt = apply_sgr(win, int(units["eps"][ur, uc]),
-                                    int(units["xqd"][ur, uc, 0]),
-                                    int(units["xqd"][ur, uc, 1]), bd)
+                    flt = sgr_unit(win, int(units["eps"][ur, uc]),
+                                   jnp.int32(units["xqd"][ur, uc, 0]),
+                                   jnp.int32(units["xqd"][ur, uc, 1]), bd)
                 else:
                     kv = _wiener_kernel(units["taps_v"][ur, uc])
                     kh = _wiener_kernel(units["taps_h"][ur, uc])
-                    flt = wiener_filter(win, kh, kv, bd)
+                    flt = wiener_unit(win, jnp.asarray(kh),
+                                      jnp.asarray(kv), bd)
                 out[ry0:ry1, c0:c1] = np.asarray(flt)
     return out
 

@@ -205,18 +205,20 @@ def wiener_filter(src_ext, filter_x, filter_y, bd: int = 8):
     round1 = 2 * FILTER_BITS - WIENER_ROUND0
 
     # horizontal: rows -3..h+3, taps over cols
+    fx = jnp.asarray(filter_x)
     hsum = None
     for k in range(7):
-        t = int(filter_x[k]) * x[..., :, k:k + W]
+        t = fx[k] * x[..., :, k:k + W]
         hsum = t if hsum is None else hsum + t
     center = x[..., :, 3:3 + W]
     hsum = hsum + (center << FILTER_BITS) + (1 << (bd + FILTER_BITS - 1))
     limit = (1 << (bd + 1 + FILTER_BITS - WIENER_ROUND0)) - 1
     im = jnp.clip(_rpot(hsum, WIENER_ROUND0), 0, limit)
 
+    fy = jnp.asarray(filter_y)
     vsum = None
     for k in range(7):
-        t = int(filter_y[k]) * im[..., k:k + H, :]
+        t = fy[k] * im[..., k:k + H, :]
         vsum = t if vsum is None else vsum + t
     vcenter = im[..., 3:3 + H, :]
     vsum = vsum + (vcenter << FILTER_BITS) - (1 << (bd + round1 - 1))

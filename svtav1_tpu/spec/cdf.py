@@ -139,6 +139,8 @@ class CdfContext:
         return c
 
     def __getattr__(self, name):
+        if name == "_t":           # not yet set (e.g. during unpickle)
+            raise AttributeError(name)
         try:
             return self._t[name]
         except KeyError:

@@ -44,8 +44,32 @@ ALTREF2_FRAME = 6
 ALTREF_FRAME = 7
 
 
+# compound inter modes (PredictionMode enum order)
+NEAREST_NEARESTMV = 17
+NEAR_NEARMV = 18
+NEAREST_NEWMV = 19
+NEW_NEARESTMV = 20
+NEAR_NEWMV = 21
+NEW_NEARMV = 22
+GLOBAL_GLOBALMV = 23
+NEW_NEWMV = 24
+
+
 def has_newmv(mode: int) -> bool:
-    return mode == NEWMV
+    return mode in (NEWMV, NEW_NEWMV, NEAR_NEWMV, NEW_NEARMV,
+                    NEAREST_NEWMV, NEW_NEARESTMV)
+
+
+def has_nearmv(mode: int) -> bool:
+    return mode in (NEARMV, NEAR_NEARMV, NEAR_NEWMV, NEW_NEARMV)
+
+
+def compound_mode_ctx(mode_context: int) -> int:
+    """svt_aom_mode_context_analyzer (EbInterPrediction.c:2439)."""
+    cmap = ((0, 1, 1, 1, 1), (1, 2, 3, 4, 4), (4, 4, 5, 6, 7))
+    newmv_ctx = mode_context & NEWMV_CTX_MASK
+    refmv_ctx = (mode_context >> REFMV_OFFSET) & REFMV_CTX_MASK
+    return cmap[refmv_ctx >> 1][min(newmv_ctx, 4)]
 
 
 def is_inter_mode(mode: int) -> bool:

@@ -70,3 +70,42 @@ def test_pyramid_roundtrip_own_decoder(tmp_path):
         np.testing.assert_array_equal(gy, ry, err_msg=f"frame {i} Y")
         np.testing.assert_array_equal(gu, ru, err_msg=f"frame {i} U")
         np.testing.assert_array_equal(gv, rv, err_msg=f"frame {i} V")
+
+
+@pytest.mark.parametrize("n", [9])
+def test_pyramid_compound_conformance(tmp_path, n):
+    """Interior pyramid frames use COMPOUND_AVERAGE (LAST+ALTREF pair,
+    NEW_NEWMV / NEAREST_NEARESTMV / GLOBAL_GLOBALMV) — dav1d must
+    reproduce display frames exactly (the compound MVP stacks, ref
+    signaling, and jnt-convolve rounding are all on the line here)."""
+    w, h = 128, 64
+    frames = _moving_clip(w, h, n, seed=3)
+    ivf = tmp_path / "pyrc.ivf"
+    payloads, recons, _ = _encode_pyramid(frames, w, h, 140, ivf)
+    assert len(recons) == n
+    got = _dav1d_frames(ivf, w, h, n)
+    for i, ((gy, gu, gv), (ry, ru, rv)) in enumerate(zip(got, recons)):
+        np.testing.assert_array_equal(gy, ry, err_msg=f"frame {i} Y")
+        np.testing.assert_array_equal(gu, ru, err_msg=f"frame {i} U")
+        np.testing.assert_array_equal(gv, rv, err_msg=f"frame {i} V")
+
+
+def test_pyramid_compound_roundtrip_own_decoder(tmp_path):
+    from svtav1_tpu.decoder.decoder import Decoder
+
+    w, h = 128, 64
+    n = 6
+    frames = _moving_clip(w, h, n, seed=4)
+    ivf = tmp_path / "pyrc2.ivf"
+    payloads, recons, _ = _encode_pyramid(frames, w, h, 150, ivf)
+    dec = Decoder()
+    out = []
+    for p in payloads:
+        f = dec.decode_frame_obus(p)
+        if f is not None:
+            out.append(f)
+    assert len(out) == n
+    for i, ((gy, gu, gv), (ry, ru, rv)) in enumerate(zip(out, recons)):
+        np.testing.assert_array_equal(gy, ry, err_msg=f"frame {i} Y")
+        np.testing.assert_array_equal(gu, ru, err_msg=f"frame {i} U")
+        np.testing.assert_array_equal(gv, rv, err_msg=f"frame {i} V")

@@ -158,3 +158,52 @@ def test_lr_roundtrip_own_decoder(tmp_path):
         np.testing.assert_array_equal(out[0], ry, err_msg=f"frame {i} Y")
         np.testing.assert_array_equal(out[1], ru, err_msg=f"frame {i} U")
         np.testing.assert_array_equal(out[2], rv, err_msg=f"frame {i} V")
+
+
+@pytestmark_e2e
+def test_lr_wiener_conformance(tmp_path, monkeypatch):
+    """Force the RD pick toward Wiener units (blur-restoring content +
+    SGR priced out) so the in-stream Wiener taps syntax and the decoder
+    apply get a dav1d conformance check."""
+    from svtav1_tpu.encoder import lr_search
+    from svtav1_tpu.encoder.intra_encoder import EncoderConfig, IntraEncoder
+    from svtav1_tpu.utils.ivf import IvfWriter
+
+    monkeypatch.setattr(lr_search, "SGR_BITS", 1e12)   # SGR never picked
+    monkeypatch.setattr(lr_search, "WIENER_BITS", 0.0)
+
+    w, h = 192, 128
+    rng = np.random.RandomState(13)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(120 + 50 * np.sin(xx / 7.0) * np.cos(yy / 5.0) +
+                rng.randint(-25, 26, (h, w)), 0, 255).astype(np.uint8)
+    u = np.clip(118 + 30 * np.sin(xx[::2, ::2] / 9.0) +
+                rng.randint(-20, 21, (h // 2, w // 2)), 0,
+                255).astype(np.uint8)
+    v = np.clip(132 + 30 * np.cos(yy[::2, ::2] / 11.0) +
+                rng.randint(-20, 21, (h // 2, w // 2)), 0,
+                255).astype(np.uint8)
+    frames = [(y, u, v)]
+    enc = IntraEncoder(EncoderConfig(w, h, qindex=200, enable_lr=True))
+    payloads, recons = enc.encode_frames(frames)
+    ivf = tmp_path / "lrw.ivf"
+    with open(ivf, "wb") as f:
+        wtr = IvfWriter(f, w, h)
+        wtr.write_frame(payloads[0], 0)
+        wtr.finalize()
+    got = _dav1d_frames(ivf, w, h, 1)
+    np.testing.assert_array_equal(got[0][0], recons[0][0], err_msg="Y")
+    np.testing.assert_array_equal(got[0][1], recons[0][1], err_msg="U")
+    np.testing.assert_array_equal(got[0][2], recons[0][2], err_msg="V")
+
+
+def test_sgr_default_ref_matches_c_truncation():
+    """set_default_sgrproj (EbRestoration.h:244) computes
+    (SGRPROJ_PRJ_MIN0 + SGRPROJ_PRJ_MAX0) / 2 with C truncation toward
+    zero: (-96 + 31) / 2 == -32.  Python floor division gives -33, which
+    shifts every chained subexp reference and desyncs xqd0 against
+    dav1d (first seen at 448x256: intended xqd0=31 decoded as -96)."""
+    from svtav1_tpu.ec.lr_syntax import default_ref_state
+
+    ref = default_ref_state()
+    assert ref["sgr_xqd"] == [-32, 31]
