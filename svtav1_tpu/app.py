@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     p.add_argument("--pyramid", action="store_true",
                    help="hierarchical mini-GoP prediction structure "
                         "(out-of-order refs + show_existing overlays)")
+    p.add_argument("--tf", action="store_true",
+                   help="MCTF temporal filtering of anchor pictures "
+                        "(needs --pyramid)")
     p.add_argument("-n", "--frames", type=int, default=0,
                    help="max frames (0 = all)")
     p.add_argument("--keyint", type=int, default=64,
@@ -115,7 +118,8 @@ def main(argv=None) -> int:
         if args.keyint == 1:
             enc = IntraEncoder(cfg)      # batched all-intra path
         elif pyramid:
-            enc = VideoEncoder(cfg, keyint=args.keyint, pyramid=True)
+            enc = VideoEncoder(cfg, keyint=args.keyint, pyramid=True,
+                               tf=args.tf)
             args.batch = 16              # mini-GoP lookahead granularity
         else:
             enc = VideoEncoder(cfg, keyint=args.keyint)

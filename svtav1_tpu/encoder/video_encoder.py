@@ -37,7 +37,7 @@ class VideoEncoder:
     """Low-delay I/P encoder.  keyint=1 degenerates to all-intra."""
 
     def __init__(self, cfg: EncoderConfig, keyint: int = 64,
-                 pyramid: bool = False, gop: int = 16):
+                 pyramid: bool = False, gop: int = 16, tf: bool = False):
         self.cfg = cfg
         self.keyint = max(1, keyint)
         # key frames get a quality boost (the reference's CRF kf_qindex
@@ -63,6 +63,9 @@ class VideoEncoder:
         self._slot_cdf = {}           # DPB slot -> frame-end CDF snapshot
         self._slot_t = {}             # DPB slot -> display index
         self._anchor_slot = 0
+        # MCTF on anchor pictures (reference: EbTemporalFiltering.c
+        # alt-ref/key-frame filtering) — needs the pyramid lookahead
+        self.tf = tf and self.pyramid
 
     # -------------------------------------------------------------- #
 
@@ -97,6 +100,9 @@ class VideoEncoder:
         while self._buf:
             if self._idx % self.keyint == 0:
                 f = self._buf.pop(0)
+                if self.tf:
+                    f = self._tf_filter(f, [], self._buf[:3],
+                                        self.kf_cfg.qindex)
                 ps, rs = self.intra.encode_frames([f])
                 rec = tuple(np.asarray(p) for p in rs[0])
                 self._slots = {0: rec}
@@ -143,6 +149,13 @@ class VideoEncoder:
             if best_s is None or sad < best_s:
                 best, best_s = s, sad
         return best
+
+    def _tf_filter(self, frame, past, future, q):
+        """MCTF the anchor source (EbTemporalFiltering.c analogue)."""
+        from ..ops.tf import temporal_filter_frame
+        neighbors = list(past) + list(future)
+        return temporal_filter_frame(frame, neighbors, q,
+                                     bd=self.cfg.bit_depth)
 
     def _encode_ref_frame(self, frame, cand_slots, q, refresh_slot,
                           show, t=0, refresh_t=0):
@@ -204,7 +217,11 @@ class VideoEncoder:
             self._anchor_slot = hi
             self._idx += 1
             return [p], [rec]
-        p, rec = self._encode_ref_frame(gframes[-1], [lo],
+        anchor = gframes[-1]
+        if self.tf:
+            anchor = self._tf_filter(anchor, gframes[-3:-1],
+                                     self._buf[:2], self._layer_q(0))
+        p, rec = self._encode_ref_frame(anchor, [lo],
                                         self._layer_q(0), hi, False,
                                         refresh_t=t0 + G)
         out_p.append(p)
