@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     p.add_argument("--tf", action="store_true",
                    help="MCTF temporal filtering of anchor pictures "
                         "(needs --pyramid)")
+    p.add_argument("--film-grain", type=int, default=0, metavar="N",
+                   help="film grain synthesis strength 0(off)..50: "
+                        "noise estimation + grain params in the stream")
     p.add_argument("-n", "--frames", type=int, default=0,
                    help="max frames (0 = all)")
     p.add_argument("--keyint", type=int, default=64,
@@ -93,7 +96,8 @@ def main(argv=None) -> int:
                             bit_depth=info.bit_depth,
                             cdf_update=not args.no_cdf_update,
                             part_search=not args.no_part_search,
-                            enable_cdef=args.cdef, enable_lr=args.lr)
+                            enable_cdef=args.cdef, enable_lr=args.lr,
+                            film_grain=max(0, min(50, args.film_grain)))
         from .encoder.presets import apply_preset, verify_settings
         if args.preset is not None:
             cfg = apply_preset(cfg, args.preset)

@@ -59,6 +59,7 @@ class SeqInfo:
     enable_cdef: bool = False
     enable_restoration: bool = False
     monochrome: bool = False
+    film_grain_params_present: bool = False
 
 
 @dataclass
@@ -83,6 +84,7 @@ class FrameInfo:
     context_update_tile_id: int = 0
     showable: bool = True
     show_existing_idx: int = -1       # >= 0: show_existing_frame header
+    film_grain: dict = None
     reference_select: bool = False
     lr_frame_types: tuple = (0, 0, 0)   # 0 NONE 1 WIENER 2 SGR 3 SWITCH
     cdef_damping: int = 3
@@ -121,6 +123,7 @@ class Decoder:
         self.seq: SeqInfo | None = None
         self.dpb = [None] * 8        # (y, u, v) reconstructed refs
         self.dpb_cdf = [None] * 8    # frame-end CDF state per slot
+        self.dpb_fg = [None] * 8     # film grain params per slot
 
     # ---------------- headers ---------------- #
 
@@ -181,7 +184,7 @@ class Decoder:
         if not s.monochrome:
             r.f(2)                    # chroma_sample_position
             r.bit()                   # separate_uv_delta_q
-        r.bit()                       # film_grain_params_present
+        s.film_grain_params_present = bool(r.bit())
         return s
 
     def _parse_frame_header(self, r: BitReader, seq: SeqInfo) -> FrameInfo:
@@ -295,7 +298,82 @@ class Decoder:
         if is_inter:
             for _ in range(7):
                 _need(r.bit() == 0, "global motion params")
+        fr.film_grain = self._parse_film_grain(r, seq, fr)
         return fr
+
+    @staticmethod
+    def _parse_film_grain(r: BitReader, seq: SeqInfo, fr) -> dict:
+        """film_grain_params (spec §5.9.30; EbDecParseObu read path)."""
+        if not getattr(seq, "film_grain_params_present", False):
+            return None
+        if not (fr.show_frame or fr.showable):
+            return None
+        if not r.bit():               # apply_grain
+            return None
+        fg = {"grain_seed": r.f(16)}
+        if fr.frame_type == 1:
+            if not r.bit():           # update_grain == 0
+                fg["load_ref_idx"] = r.f(3)
+                return fg
+        n_y = r.f(4)
+        _need(n_y <= 14, "num_y_points > 14")
+        fg["num_y_points"] = n_y
+        fg["scaling_points_y"] = [(r.f(8), r.f(8)) for _ in range(n_y)]
+        csfl = bool(r.bit()) if not seq.monochrome else False
+        fg["chroma_scaling_from_luma"] = int(csfl)
+        chroma_pts = not (seq.monochrome or csfl or n_y == 0)
+        if chroma_pts:
+            ncb = r.f(4)
+            _need(ncb <= 10, "num_cb_points > 10")
+            fg["num_cb_points"] = ncb
+            fg["scaling_points_cb"] = [(r.f(8), r.f(8))
+                                       for _ in range(ncb)]
+            ncr = r.f(4)
+            _need(ncr <= 10, "num_cr_points > 10")
+            fg["num_cr_points"] = ncr
+            fg["scaling_points_cr"] = [(r.f(8), r.f(8))
+                                       for _ in range(ncr)]
+        else:
+            fg["num_cb_points"] = fg["num_cr_points"] = 0
+            fg["scaling_points_cb"] = fg["scaling_points_cr"] = []
+        fg["scaling_shift"] = r.f(2) + 8
+        lag = r.f(2)
+        fg["ar_coeff_lag"] = lag
+        num_pos = 2 * lag * (lag + 1)
+        fg["ar_coeffs_y"] = [0] * 24
+        fg["ar_coeffs_cb"] = [0] * 25
+        fg["ar_coeffs_cr"] = [0] * 25
+        if n_y:
+            for i in range(num_pos):
+                fg["ar_coeffs_y"][i] = r.f(8) - 128
+            num_pos_c = num_pos + 1
+        else:
+            num_pos_c = num_pos
+        if fg["num_cb_points"] or csfl:
+            for i in range(num_pos_c):
+                fg["ar_coeffs_cb"][i] = r.f(8) - 128
+        if fg["num_cr_points"] or csfl:
+            for i in range(num_pos_c):
+                fg["ar_coeffs_cr"][i] = r.f(8) - 128
+        fg["ar_coeff_shift"] = r.f(2) + 6
+        fg["grain_scale_shift"] = r.f(2)
+        if fg["num_cb_points"]:
+            fg["cb_mult"] = r.f(8)
+            fg["cb_luma_mult"] = r.f(8)
+            fg["cb_offset"] = r.f(9)
+        else:
+            fg["cb_mult"] = fg["cb_luma_mult"] = fg["cb_offset"] = 0
+        if fg["num_cr_points"]:
+            fg["cr_mult"] = r.f(8)
+            fg["cr_luma_mult"] = r.f(8)
+            fg["cr_offset"] = r.f(9)
+        else:
+            fg["cr_mult"] = fg["cr_luma_mult"] = fg["cr_offset"] = 0
+        fg["overlap_flag"] = r.bit()
+        fg["clip_to_restricted_range"] = r.bit()
+        fg["random_seed"] = fg["grain_seed"]
+        fg["bit_depth"] = seq.bit_depth
+        return fg
 
     # ---------------- tile ---------------- #
 
@@ -739,6 +817,28 @@ class Decoder:
                 NotImplementedError) as e:
             raise DecodeError(f"corrupt or unsupported stream: {e}") from e
 
+    def _resolve_film_grain(self, fg):
+        """Resolve update_grain=0 (load_grain_params): copy the stored
+        slot params, keeping this frame's grain_seed (spec §6.8.20
+        tempGrainSeed rule)."""
+        if fg is None or "load_ref_idx" not in fg:
+            return fg
+        base = self.dpb_fg[fg["load_ref_idx"]]
+        _need(base is not None, "film grain load from empty slot")
+        out = dict(base)
+        out["grain_seed"] = out["random_seed"] = fg["grain_seed"]
+        return out
+
+    def _output_frame(self, planes, fg, dt):
+        """Display path: film grain synthesis applies to OUTPUT only —
+        references stay grain-free (§7.18)."""
+        if fg is None:
+            return tuple(np.asarray(p).astype(dt) for p in planes)
+        from ..ops.film_grain import apply_film_grain
+        out = apply_film_grain(
+            fg, tuple(np.asarray(p).astype(np.uint8) for p in planes))
+        return tuple(p.astype(dt) for p in out)
+
     def _decode_frame_obus(self, data: bytes):
         frame = None
         for obu_type, _, _, payload in parse_obus(data):
@@ -790,8 +890,9 @@ class Decoder:
                     y, u, v = lr_apply_frame((y, u, v), db_planes, infos,
                                              self.seq.bit_depth)
                 dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+                fg = self._resolve_film_grain(fr.film_grain)
                 if fr.show_frame:
-                    frame = (y.astype(dt), u.astype(dt), v.astype(dt))
+                    frame = self._output_frame((y, u, v), fg, dt)
                 refresh = (0xFF if fr.frame_type == 0
                            else fr.refresh_frame_flags)
                 ref_entry = (y.astype(np.int32), u.astype(np.int32),
@@ -805,6 +906,7 @@ class Decoder:
                     if refresh & (1 << slot):
                         self.dpb[slot] = ref_entry
                         self.dpb_cdf[slot] = end_cdf
+                        self.dpb_fg[slot] = fg
             elif obu_type == OBU_FRAME_HEADER:
                 _need(self.seq is not None, "header before sequence header")
                 fr = self._parse_frame_header(BitReader(payload), self.seq)
@@ -813,7 +915,8 @@ class Decoder:
                 ent = self.dpb[fr.show_existing_idx]
                 _need(ent is not None, "show_existing of empty slot")
                 dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
-                frame = tuple(p.astype(dt) for p in ent)
+                frame = self._output_frame(
+                    ent, self.dpb_fg[fr.show_existing_idx], dt)
             elif obu_type == OBU_TILE_GROUP:
                 raise NotImplementedError("separate tile group OBUs")
         return frame

@@ -32,6 +32,7 @@ class SequenceConfig:
     enable_restoration: bool = False
     enable_superres: bool = False
     monochrome: bool = False
+    film_grain_params_present: bool = False
     ccso_fork_mode: bool = False    # fork-compat nonstandard bit (§2.6 SURVEY)
 
     @property
@@ -79,6 +80,11 @@ class FrameConfig:
     ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
     allow_high_precision_mv: bool = False
     interpolation_filter: int = 0   # EIGHTTAP_REGULAR (frame-level)
+    # film grain (written when seq.film_grain_params_present and the
+    # frame is shown/showable): None → apply_grain=0; a params dict
+    # (ops/film_grain naming + "grain_seed") → full update; a dict with
+    # "load_ref_idx" → update_grain=0 load-from-reference
+    film_grain: dict = None
     reference_select: bool = False  # REFERENCE_MODE_SELECT (compound)
 
 
@@ -134,7 +140,7 @@ def write_sequence_header_obu(cfg: SequenceConfig) -> bytes:
         w.f(0, 2)                   # CSP_UNKNOWN
         w.bit(0)                    # separate_uv_delta_q
 
-    w.bit(0)                        # film_grain_params_present
+    w.bit(1 if cfg.film_grain_params_present else 0)
 
     # trailing bits
     w.bit(1)
@@ -261,8 +267,75 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
     if is_inter:
         for _ in range(7):
             w.bit(0)                # global_motion: is_global per ref
-    # film grain: not present → skip
+    _write_film_grain_params(w, seq, fr)
     return w
+
+
+def _write_film_grain_params(w: BitWriter, seq: SequenceConfig,
+                             fr: FrameConfig) -> None:
+    """film_grain_params (spec §5.9.30; reference writer
+    EbEntropyCoding.c:3125 write_film_grain_params).  Our no-show frames
+    are always showable, so presence reduces to the sequence flag."""
+    if not seq.film_grain_params_present:
+        return
+    fg = fr.film_grain
+    w.bit(1 if fg else 0)           # apply_grain
+    if not fg:
+        return
+    w.f(fg["grain_seed"], 16)
+    if fr.frame_type == 1:
+        update = "load_ref_idx" not in fg
+        w.bit(1 if update else 0)
+        if not update:
+            w.f(fg["load_ref_idx"], 3)
+            return
+    w.f(fg["num_y_points"], 4)
+    for x, v in fg["scaling_points_y"]:
+        w.f(x, 8)
+        w.f(v, 8)
+    if not seq.monochrome:
+        w.bit(1 if fg["chroma_scaling_from_luma"] else 0)
+    chroma_pts = not (seq.monochrome or fg["chroma_scaling_from_luma"] or
+                      fg["num_y_points"] == 0)   # 4:2:0 rule
+    if chroma_pts:
+        w.f(fg["num_cb_points"], 4)
+        for x, v in fg["scaling_points_cb"]:
+            w.f(x, 8)
+            w.f(v, 8)
+        w.f(fg["num_cr_points"], 4)
+        for x, v in fg["scaling_points_cr"]:
+            w.f(x, 8)
+            w.f(v, 8)
+    w.f(fg["scaling_shift"] - 8, 2)
+    lag = fg["ar_coeff_lag"]
+    w.f(lag, 2)
+    num_pos = 2 * lag * (lag + 1)
+    if fg["num_y_points"]:
+        for i in range(num_pos):
+            w.f(int(fg["ar_coeffs_y"][i]) + 128, 8)
+        num_pos_c = num_pos + 1
+    else:
+        num_pos_c = num_pos
+    ncb = fg["num_cb_points"] if chroma_pts else 0
+    ncr = fg["num_cr_points"] if chroma_pts else 0
+    if ncb or fg["chroma_scaling_from_luma"]:
+        for i in range(num_pos_c):
+            w.f(int(fg["ar_coeffs_cb"][i]) + 128, 8)
+    if ncr or fg["chroma_scaling_from_luma"]:
+        for i in range(num_pos_c):
+            w.f(int(fg["ar_coeffs_cr"][i]) + 128, 8)
+    w.f(fg["ar_coeff_shift"] - 6, 2)
+    w.f(fg["grain_scale_shift"], 2)
+    if ncb:
+        w.f(fg["cb_mult"], 8)
+        w.f(fg["cb_luma_mult"], 8)
+        w.f(fg["cb_offset"], 9)
+    if ncr:
+        w.f(fg["cr_mult"], 8)
+        w.f(fg["cr_luma_mult"], 8)
+        w.f(fg["cr_offset"], 9)
+    w.bit(1 if fg["overlap_flag"] else 0)
+    w.bit(1 if fg["clip_to_restricted_range"] else 0)
 
 
 def _write_tile_info(w: BitWriter, sb_cols: int, sb_rows: int, sb: int,

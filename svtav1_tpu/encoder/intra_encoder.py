@@ -62,6 +62,8 @@ class EncoderConfig:
     enable_cdef: bool = False   # CDEF search + in-loop filter + signaling
     enable_lr: bool = False     # loop restoration (SGR search + signaling)
     tx_search: bool = True      # tx-type RD on 16x16 intra luma leaves
+    film_grain: int = 0         # grain synthesis strength 0(off)..50:
+                                # noise_model estimation + §5.9.30 syntax
 
 
 def _lambda(qindex: int) -> float:
@@ -86,8 +88,29 @@ class IntraEncoder:
         self.cfg = cfg
         self.seq = SequenceConfig(cfg.width, cfg.height, cfg.bit_depth,
                                   enable_cdef=cfg.enable_cdef,
-                                  enable_restoration=cfg.enable_lr)
+                                  enable_restoration=cfg.enable_lr,
+                                  film_grain_params_present=(
+                                      cfg.film_grain > 0))
         self._first = True
+        self._fg_params = None       # estimated on the first source frame
+        self._fg_n = 0               # per-frame grain_seed counter
+
+    def film_grain_for(self, frame):
+        """Per-frame film_grain header dict (or None).  Estimates the
+        grain model from the first frame seen (noise_model.c flow)."""
+        cfg = self.cfg
+        if not cfg.film_grain or cfg.bit_depth != 8:
+            return None
+        if self._fg_params is None:
+            from .noise_model import estimate_grain_params
+            p = estimate_grain_params(frame[0], frame[1], frame[2],
+                                      strength=cfg.film_grain / 8.0)
+            self._fg_params = p if p is not None else False
+        if self._fg_params is False:
+            return None
+        self._fg_n += 1
+        seed = (7391 + 3461 * self._fg_n) & 0xFFFF
+        return dict(self._fg_params, grain_seed=seed, random_seed=seed)
 
     # ------------------------------------------------------------------ #
 
@@ -291,7 +314,9 @@ class IntraEncoder:
                              filter_level=(lfv[0], lfv[1]),
                              filter_level_u=lfv[2], filter_level_v=lfv[3],
                              tile_cols_log2=tlog,
-                             lr_frame_types=lr_types, **cdef_kw)
+                             lr_frame_types=lr_types,
+                             film_grain=self.film_grain_for(frames[b]),
+                             **cdef_kw)
             payloads.append(assemble_key_frame(
                 self.seq, fr, tiles if T > 1 else tiles[0],
                 first=self._first))
@@ -335,7 +360,8 @@ class IntraEncoder:
             fr = FrameConfig(base_q_idx=cfg.qindex,
                              disable_cdf_update=not cfg.cdf_update,
                              filter_level=(lfv[0], lfv[1]),
-                             filter_level_u=lfv[2], filter_level_v=lfv[3])
+                             filter_level_u=lfv[2], filter_level_v=lfv[3],
+                             film_grain=self.film_grain_for(frames[b]))
             payloads.append(assemble_key_frame(self.seq, fr, tiles[b],
                                                first=self._first))
             self._first = False

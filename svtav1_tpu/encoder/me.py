@@ -109,13 +109,21 @@ def motion_estimate(src, ref, bs: int = BLK, long_range: bool = False):
                            c_idx // 4 - L2_RANGE,
                            bs2 + 2 * L2_RANGE, pad2)
     sad2 = _sad_exhaustive(s2, reg2, bs2, L2_RANGE)
+    # center-bias MV cost (the reference full-pel search's mv rate term,
+    # EbMotionEstimation.c fp_mv_cost): on (near-)periodic content the
+    # raw-SAD argmin aliases to distant false matches; a small |mv|
+    # penalty keeps the nearest of equivalent matches
+    ME_PEN = 3
+    off2 = jnp.arange(-L2_RANGE, L2_RANGE + 1)
+    pen2 = ME_PEN * (jnp.abs(off2)[:, None] + jnp.abs(off2)[None, :])
+    sad2 = sad2 + pen2[None, None]
     idx = jnp.argmin(sad2.reshape(B, N, -1), axis=-1)
     n2 = 2 * L2_RANGE + 1
     mv2y = idx // n2 - L2_RANGE
     mv2x = idx % n2 - L2_RANGE
     if long_range:
         # HME L3: exhaustive at 1/8 res, refined ±2 at 1/4, competing
-        # with the standard-path winner by 1/4-res SAD
+        # with the standard-path winner by penalized 1/4-res SAD
         best2 = jnp.min(sad2.reshape(B, N, -1), axis=-1)
         src3 = downsample2x(src2)
         ref3 = downsample2x(ref2)
@@ -127,6 +135,11 @@ def motion_estimate(src, ref, bs: int = BLK, long_range: bool = False):
                                c_idx // 8 - L3_RANGE,
                                bs3 + 2 * L3_RANGE, pad3)
         sad3 = _sad_exhaustive(s3, reg3, bs3, L3_RANGE)
+        off3 = jnp.arange(-L3_RANGE, L3_RANGE + 1)
+        # 1/8-res offsets are 2x the 1/4-res scale; SADs are 1/4 area
+        pen3 = (ME_PEN * 2 // 4 + 1) * (jnp.abs(off3)[:, None] +
+                                        jnp.abs(off3)[None, :])
+        sad3 = sad3 + pen3[None, None]
         idx3 = jnp.argmin(sad3.reshape(B, N, -1), axis=-1)
         n3 = 2 * L3_RANGE + 1
         mv3y = idx3 // n3 - L3_RANGE
@@ -138,7 +151,8 @@ def motion_estimate(src, ref, bs: int = BLK, long_range: bool = False):
         dy2, dx2 = _argmin_offset(sref2, 2)
         cand_y = 2 * mv3y + dy2
         cand_x = 2 * mv3x + dx2
-        cand_sad = jnp.min(sref2, axis=-1)
+        cand_sad = jnp.min(sref2, axis=-1) + ME_PEN * (
+            jnp.abs(cand_y) + jnp.abs(cand_x))
         take = cand_sad < best2
         mv2y = jnp.where(take, cand_y, mv2y)
         mv2x = jnp.where(take, cand_x, mv2x)

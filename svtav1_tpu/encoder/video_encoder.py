@@ -66,6 +66,7 @@ class VideoEncoder:
         # MCTF on anchor pictures (reference: EbTemporalFiltering.c
         # alt-ref/key-frame filtering) — needs the pyramid lookahead
         self.tf = tf and self.pyramid
+        self._fg_n = 0                # inter-frame grain_seed counter
 
     # -------------------------------------------------------------- #
 
@@ -128,6 +129,14 @@ class VideoEncoder:
             recons += rs
         return payloads, recons
 
+    # per-layer RD lambda multipliers: interior layers price rate harder
+    # (pushes top-layer frames toward skip/cheap modes without raising
+    # their quantizer — the reference's layer lambda weighting)
+    LAYER_LAM = (1.0, 1.0, 1.0, 1.0, 1.0)
+
+    def _layer_lam(self, layer: int) -> float:
+        return self.LAYER_LAM[min(layer, len(self.LAYER_LAM) - 1)]
+
     def _layer_q(self, layer: int) -> int:
         """Per-layer qindex scaling (the reference's hierarchical-layer
         q offsets, EbRateControlProcess.c CRF qindex per temporal
@@ -150,6 +159,17 @@ class VideoEncoder:
                 best, best_s = s, sad
         return best
 
+    def _fg_inter(self, hdr_extra):
+        """Inter-frame film grain: update_grain=0, parameters loaded
+        from the primary reference slot (write_film_grain_params
+        params-equal path) — each frame keeps its own grain_seed."""
+        if not self.cfg.film_grain or not self.intra._fg_params:
+            return None
+        self._fg_n += 1
+        seed = (17027 + 2897 * self._fg_n) & 0xFFFF
+        slot = (hdr_extra or {}).get("ref_frame_idx", (0,) * 7)[0]
+        return {"grain_seed": seed, "load_ref_idx": slot}
+
     def _tf_filter(self, frame, past, future, q):
         """MCTF the anchor source (EbTemporalFiltering.c analogue)."""
         from ..ops.tf import temporal_filter_frame
@@ -158,7 +178,7 @@ class VideoEncoder:
                                      bd=self.cfg.bit_depth)
 
     def _encode_ref_frame(self, frame, cand_slots, q, refresh_slot,
-                          show, t=0, refresh_t=0):
+                          show, t=0, refresh_t=0, layer=0):
         y, u, v = frame
         use_comp = (len(cand_slots) == 2 and self.cfg.part_search and
                     cand_slots[0] != cand_slots[1])
@@ -180,7 +200,8 @@ class VideoEncoder:
             payload, rec, snap = self._encode_p(
                 y, u, v, ref=self._slots[lo], qindex=q,
                 cdf_init=self._slot_cdf.get(chain), hdr_extra=hdr,
-                ref_dist=d0, ref2=self._slots[hi], ref2_dist=d1)
+                ref_dist=d0, ref2=self._slots[hi], ref2_dist=d1,
+                lam_scale=self._layer_lam(layer))
         else:
             slot = self._pick_ref(y, cand_slots)
             hdr = dict(show_frame=show,
@@ -191,7 +212,7 @@ class VideoEncoder:
             payload, rec, snap = self._encode_p(
                 y, u, v, ref=self._slots[slot], qindex=q,
                 cdf_init=self._slot_cdf.get(slot), hdr_extra=hdr,
-                ref_dist=dist)
+                ref_dist=dist, lam_scale=self._layer_lam(layer))
         rec = tuple(np.asarray(p) for p in rec)
         self._slots[refresh_slot] = rec
         self._slot_cdf[refresh_slot] = snap
@@ -241,7 +262,8 @@ class VideoEncoder:
         p, rec = self._encode_ref_frame(gframes[mid - 1],
                                         [lo_slot, hi_slot],
                                         self._layer_q(depth + 1), slot,
-                                        False, refresh_t=t0 + mid)
+                                        False, refresh_t=t0 + mid,
+                                        layer=depth + 1)
         out_p.append(p)
         out_r[mid - 1] = rec
         self._bisect(gframes, lo_i, lo_slot, mid, slot, depth + 1,
@@ -280,11 +302,11 @@ class VideoEncoder:
 
     def _encode_p(self, y, u, v, ref=None, qindex=None,
                   cdf_init="chain", hdr_extra=None, ref_dist=1,
-                  ref2=None, ref2_dist=1):
+                  ref2=None, ref2_dist=1, lam_scale=1.0):
         if self.cfg.part_search:
             return self._encode_p_part(y, u, v, ref, qindex, cdf_init,
                                        hdr_extra, ref_dist, ref2,
-                                       ref2_dist)
+                                       ref2_dist, lam_scale)
         if ref2 is not None:
             raise NotImplementedError("compound needs part_search")
         cfg = self.cfg
@@ -369,6 +391,7 @@ class VideoEncoder:
             w, h, q, cfg.cdf_update, y_mi, y_lev, u_lev, v_lev,
             mv_np, cands, n_intra, cdf_init=cdf0)
         hdr_extra = dict(hdr_extra or {})
+        hdr_extra.setdefault("film_grain", self._fg_inter(hdr_extra))
         primary_ref = hdr_extra.pop("primary_ref_frame",
                                     0 if cdf0 is not None else 7)
         fr = FrameConfig(frame_type=1, base_q_idx=q,
@@ -391,7 +414,7 @@ class VideoEncoder:
 
     def _encode_p_part(self, y, u, v, ref=None, qindex=None,
                        cdf_init="chain", hdr_extra=None, ref_dist=1,
-                       ref2=None, ref2_dist=1):
+                       ref2=None, ref2_dist=1, lam_scale=1.0):
         """P frame with the 32-vs-16 partition decision: separate ME at
         both block sizes, inter candidates at both depths of the
         two-depth wavefront, chroma partition forced by luma.
@@ -542,7 +565,7 @@ class VideoEncoder:
                 extra_top_t, rate_top_t, extra_sub_t, rate_sub_t, ok_top,
                 ok_sub, ones, ones4, free, n_lanes, P_INTRA_MODES,
                 SUB_MODES, bd, tuple(cfg.angle_deltas), False,
-                cfg.tx_search)
+                cfg.tx_search, lam_scale)
 
         cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
         cands_sub = expand_candidates(SUB_MODES, (0,))
@@ -623,7 +646,7 @@ class VideoEncoder:
                 tstack(pt.reshape(1, 1, bh, bw, CBLK, CBLK), 3), c_rate,
                 tstack(ps.reshape(1, 1, bh, bw, 4, 8, 8), 3), c_rate_s,
                 c_ok_top, c_ok_sub, ~top_inter, ~sub_inter, part, 1,
-                (0,), (0,), bd, (0,), False)
+                (0,), (0,), bd, (0,), False, False, lam_scale)
 
         _, u_mi, u_lev, u_smi, u_slev, _, u_rec = chroma_pass(u, pu_t, pu_s)
         _, v_mi, v_lev, v_smi, v_slev, _, v_rec = chroma_pass(v, pv_t, pv_s)
@@ -730,6 +753,7 @@ class VideoEncoder:
             if t == 0:
                 end_cdf = tcdf
         hdr_extra = dict(hdr_extra or {})
+        hdr_extra.setdefault("film_grain", self._fg_inter(hdr_extra))
         primary_ref = hdr_extra.pop("primary_ref_frame",
                                     0 if cdf0 is not None else 7)
         fr = FrameConfig(frame_type=1, base_q_idx=q,

@@ -93,19 +93,23 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 force_part, n_extra: int,
                                 modes_top: tuple, modes_sub: tuple,
                                 bd: int = 8, angle_deltas: tuple = (0,),
-                                kf: bool = True, tx_search: bool = False):
+                                kf: bool = True, tx_search: bool = False,
+                                lam_scale: float = 1.0):
     """Public wrapper: computes the per-qindex RD inputs host-side and
     passes them traced so per-frame q changes reuse the compilation.
 
     tx_search: RD-refine the tx type of INTRA sub-block (16x16 luma)
     winners over the reduced intra set (TX_SEARCH_TYPES) — reference
-    MDS3 tx-type search (Docs/Appendix-TX-Search.md)."""
+    MDS3 tx-type search (Docs/Appendix-TX-Search.md).
+    lam_scale: RD lambda multiplier (per-temporal-layer rate pressure,
+    the reference's layer lambda weighting in EbModeDecisionConfig)."""
     cands_top = expand_candidates(modes_top, angle_deltas)
     cands_sub = expand_candidates(modes_sub, (0,))
     dc, ac = tbl.qindex_to_dq(qindex, bd)
     bn, bsp = partition_bits(qindex, bs)
     mode_ids = np.array([m for m, _ in cands_sub], np.int32)
-    rd = (jnp.int32(dc), jnp.int32(ac), jnp.float32(_lambda(qindex)),
+    rd = (jnp.int32(dc), jnp.int32(ac),
+          jnp.float32(_lambda(qindex) * lam_scale),
           jnp.asarray(intra_mode_rate_table(cands_top, qindex, kf=kf)),
           jnp.asarray(intra_mode_rate_table(cands_sub, qindex, kf=kf)),
           jnp.float32(bn), jnp.float32(bsp),

@@ -8,8 +8,10 @@ Components (each bit-exact vs the reference, tests/test_film_grain.py):
 - piecewise-linear scaling LUTs and the per-block noise blending
   (vectorized — this is the per-pixel hot part).
 
-Whole-frame assembly with subblock overlap lands with the film-grain
-encoder integration (next round).
+Whole-frame assembly (noise stripes + 32x32 block offsets + 2px/1px
+overlap blending, §7.18.3.11-12 / grainSynthesis.c:989-1260) lives in
+film_grain_noise_planes / apply_film_grain below — golden-tested
+bit-exact against svt_av1_add_film_grain_run full-frame runs.
 """
 
 from __future__ import annotations
@@ -206,3 +208,122 @@ def add_noise_to_block(params: dict, luma, cb, cr, luma_grain, cb_grain,
             plane = np.clip(plane + ((s * grain + rnd) >> sh), min_c, max_c)
         res.append(plane)
     return tuple(res)
+
+
+# ---------------- whole-frame noise assembly (§7.18.3.11-12) ------------- #
+
+def _blend_cols(old, new, ov: int, gmin: int, gmax: int):
+    """Vertical boundary (left-overlap) blend, ver_boundary_overlap."""
+    if ov == 1:
+        v = (old * 23 + new * 22 + 16) >> 5
+    else:
+        v = np.empty_like(old)
+        v[:, 0] = (old[:, 0] * 27 + new[:, 0] * 17 + 16) >> 5
+        v[:, 1] = (old[:, 1] * 17 + new[:, 1] * 27 + 16) >> 5
+    return np.clip(v, gmin, gmax)
+
+
+def _blend_rows(old, new, ov: int, gmin: int, gmax: int):
+    """Horizontal boundary (top-overlap) blend, hor_boundary_overlap."""
+    if ov == 1:
+        v = (old * 23 + new * 22 + 16) >> 5
+    else:
+        v = np.empty_like(old)
+        v[0] = (old[0] * 27 + new[0] * 17 + 16) >> 5
+        v[1] = (old[1] * 17 + new[1] * 27 + 16) >> 5
+    return np.clip(v, gmin, gmax)
+
+
+def _plane_noise(template, W: int, H: int, offsets, base: int, step: int,
+                 blk: int, ov: int, overlap: bool, gmin: int, gmax: int):
+    """Noise image for one plane.  offsets: [stripes, blocks, 2] (oy, ox)
+    template draws shared across planes; base/step map offsets into the
+    template (luma 9/2, chroma-420 6/1); blk 32/16; ov 2/1."""
+    n_stripes = (H + blk - 1) // blk
+    n_blocks = (W + blk - 1) // blk
+    stripes = []
+    for s in range(n_stripes):
+        rows = min(blk + ov, H - s * blk)
+        stripe = np.zeros((rows, W), np.int32)
+        overhang = None
+        for j in range(n_blocks):
+            oy, ox = offsets[s][j]
+            r0 = base + step * oy
+            c0 = base + step * ox
+            win = template[r0:r0 + rows, c0:c0 + blk + ov]
+            x0 = j * blk
+            w_cols = min(blk, W - x0)
+            if overlap and j > 0:
+                stripe[:, x0:x0 + ov] = _blend_cols(overhang,
+                                                    win[:, :ov], ov,
+                                                    gmin, gmax)
+                stripe[:, x0 + ov:x0 + w_cols] = win[:, ov:w_cols]
+            else:
+                stripe[:, x0:x0 + w_cols] = win[:, :w_cols]
+            # next block blends against THIS block's unblended template
+            # columns [blk, blk+ov) (copy_area → col_buf in the reference)
+            overhang = np.array(win[:, blk:blk + ov])
+        stripes.append(stripe)
+    img = np.zeros((H, W), np.int32)
+    for s in range(n_stripes):
+        y0 = s * blk
+        rows = min(blk, H - y0)
+        st = stripes[s]
+        if overlap and s > 0:
+            prev = stripes[s - 1]
+            r = min(ov, rows)
+            img[y0:y0 + r] = _blend_rows(prev[blk:blk + r], st[:r], ov,
+                                         gmin, gmax)[:r]
+            img[y0 + r:y0 + rows] = st[r:rows]
+        else:
+            img[y0:y0 + rows] = st[:rows]
+    return img
+
+
+def film_grain_noise_planes(params: dict, W: int, H: int,
+                            subsamp: int = 1):
+    """(noise_y, noise_cb, noise_cr) int32 images for a WxH 8-bit 4:2:0
+    frame (spec §7.18.3.11-12: per-stripe reseeded RNG, one offset draw
+    per 32x32 luma block shared by all planes, overlap blending)."""
+    bd = params["bit_depth"]
+    gmin = -(128 << (bd - 8))
+    gmax = (256 << (bd - 8)) - 1 - (128 << (bd - 8))
+    luma = generate_luma_grain(params)
+    cb_t, cr_t = generate_chroma_grain(params, luma, subsamp)
+    n_stripes = (H + 31) // 32
+    n_blocks = (W + 31) // 32
+    offsets = []
+    for s in range(n_stripes):
+        rng = GrainRng(0)
+        rng.reseed_line(s << 5, params["random_seed"])
+        row = []
+        for _ in range(n_blocks):
+            r = rng.bits(8)
+            row.append((r & 15, (r >> 4) & 15))
+        offsets.append(row)
+    overlap = bool(params["overlap_flag"])
+    ny = _plane_noise(luma, W, H, offsets, 9, 2, 32, 2, overlap, gmin,
+                      gmax)
+    cw, ch = W >> subsamp, H >> subsamp
+    ncb = _plane_noise(cb_t, cw, ch, offsets, 6, 1, 32 >> subsamp,
+                       2 >> subsamp, overlap, gmin, gmax)
+    ncr = _plane_noise(cr_t, cw, ch, offsets, 6, 1, 32 >> subsamp,
+                       2 >> subsamp, overlap, gmin, gmax)
+    return ny, ncb, ncr
+
+
+def apply_film_grain(params: dict, planes, subsamp: int = 1):
+    """Film grain synthesis on a full decoded frame (y, u, v) — §7.18.
+    Returns new uint8 planes; inputs are not modified."""
+    y, u, v = (np.asarray(p) for p in planes)
+    H, W = y.shape
+    ny, ncb, ncr = film_grain_noise_planes(params, W, H, subsamp)
+    lut_y = init_scaling_lut(params.get("scaling_points_y", ()))
+    if params["chroma_scaling_from_luma"]:
+        lut_cb = lut_cr = lut_y
+    else:
+        lut_cb = init_scaling_lut(params.get("scaling_points_cb", ()))
+        lut_cr = init_scaling_lut(params.get("scaling_points_cr", ()))
+    out = add_noise_to_block(params, y, u, v, ny, ncb, ncr,
+                             (lut_y, lut_cb, lut_cr), subsamp)
+    return tuple(p.astype(np.uint8) for p in out)
