@@ -50,6 +50,12 @@ def main(argv=None) -> int:
     p.add_argument("--tf", action="store_true",
                    help="MCTF temporal filtering of anchor pictures "
                         "(needs --pyramid)")
+    p.add_argument("--rc", choices=("cq", "crf", "cbr", "vbr"),
+                   default=None,
+                   help="rate control mode (default: cq, or crf when "
+                        "--crf is given)")
+    p.add_argument("--tbr", type=int, default=0, metavar="KBPS",
+                   help="target bitrate for --rc cbr/vbr")
     p.add_argument("--film-grain", type=int, default=0, metavar="N",
                    help="film grain synthesis strength 0(off)..50: "
                         "noise estimation + grain params in the stream")
@@ -119,14 +125,25 @@ def main(argv=None) -> int:
                  info.width, info.height, info.bit_depth, cfg.qindex,
                  args.keyint, args.preset)
         pyramid = args.pyramid and args.keyint > 1
+        rc = None
+        rc_mode = args.rc or ("crf" if args.crf is not None else "cq")
+        if rc_mode in ("cbr", "vbr") or args.rc in ("cq", "crf"):
+            from .encoder.rate_control import RateControl
+            try:
+                rc = RateControl(rc_mode, qindex=cfg.qindex,
+                                 target_kbps=args.tbr,
+                                 fps=info.fps_num / max(info.fps_den, 1))
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
         if args.keyint == 1:
             enc = IntraEncoder(cfg)      # batched all-intra path
         elif pyramid:
             enc = VideoEncoder(cfg, keyint=args.keyint, pyramid=True,
-                               tf=args.tf)
+                               tf=args.tf, rc=rc)
             args.batch = 16              # mini-GoP lookahead granularity
         else:
-            enc = VideoEncoder(cfg, keyint=args.keyint)
+            enc = VideoEncoder(cfg, keyint=args.keyint, rc=rc)
             args.batch = 1               # low-delay P is reference-serial
         t0 = time.perf_counter()
         n = 0

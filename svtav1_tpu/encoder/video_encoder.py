@@ -37,7 +37,8 @@ class VideoEncoder:
     """Low-delay I/P encoder.  keyint=1 degenerates to all-intra."""
 
     def __init__(self, cfg: EncoderConfig, keyint: int = 64,
-                 pyramid: bool = False, gop: int = 16, tf: bool = False):
+                 pyramid: bool = False, gop: int = 16, tf: bool = False,
+                 rc=None):
         self.cfg = cfg
         self.keyint = max(1, keyint)
         # key frames get a quality boost (the reference's CRF kf_qindex
@@ -67,6 +68,14 @@ class VideoEncoder:
         # alt-ref/key-frame filtering) — needs the pyramid lookahead
         self.tf = tf and self.pyramid
         self._fg_n = 0                # inter-frame grain_seed counter
+        self.rc = rc                  # RateControl (None → fixed qindex)
+        # scene-change detection state (picture decision analogue,
+        # EbPictureDecisionProcess.c scene_transition_detector): keyint
+        # becomes the MAX interval; cuts insert key frames
+        self._kf_at = 0               # next forced-KF display index
+        self._tail_src = None         # last buffered source luma
+        self._buf_sad = []            # decimated SAD vs previous source
+        self._sad_hist = []           # recent non-cut SADs (adaptation)
 
     # -------------------------------------------------------------- #
 
@@ -79,7 +88,15 @@ class VideoEncoder:
         in pyramid mode payloads include show_existing overlay TUs, so
         len(payloads) > len(recons)."""
         if self.pyramid:
-            self._buf.extend(frames)
+            for f in frames:
+                y = np.asarray(f[0], np.int32)[::4, ::4]
+                if self._tail_src is None:
+                    self._buf_sad.append(0.0)
+                else:
+                    self._buf_sad.append(
+                        float(np.abs(y - self._tail_src).mean()))
+                self._tail_src = y
+                self._buf.append(f)
             return self._drain(final=False)
         payloads, recons = [], []
         for f in frames:
@@ -96,15 +113,39 @@ class VideoEncoder:
 
     # ---------------- hierarchical mini-GoP scheduler ---------------- #
 
+    def _is_cut(self, sad_pp: float) -> bool:
+        """Scene cut: large absolute per-pixel SAD AND an outlier vs
+        the recent motion level (scene_transition_detector rule)."""
+        if sad_pp < 26.0:
+            return False
+        base = np.median(self._sad_hist) if self._sad_hist else 0.0
+        return sad_pp > 3.5 * max(base, 2.0)
+
+    def _consume_sad(self, k: int):
+        for s in self._buf_sad[:k]:
+            if not self._is_cut(s):
+                self._sad_hist = (self._sad_hist + [s])[-16:]
+        del self._buf_sad[:k]
+
     def _drain(self, final: bool):
         payloads, recons = [], []
         while self._buf:
-            if self._idx % self.keyint == 0:
+            if (self._idx >= self._kf_at or
+                    (self._buf_sad and self._is_cut(self._buf_sad[0]))):
+                self._consume_sad(1)
+                self._kf_at = self._idx + self.keyint
                 f = self._buf.pop(0)
+                if self.rc is not None:
+                    kf_q = max(2, int(round(self._base_q() * 0.7)))
+                    if kf_q != self.intra.cfg.qindex:
+                        self.intra.cfg = replace(self.intra.cfg,
+                                                 qindex=kf_q)
                 if self.tf:
                     f = self._tf_filter(f, [], self._buf[:3],
-                                        self.kf_cfg.qindex)
+                                        self.intra.cfg.qindex)
                 ps, rs = self.intra.encode_frames([f])
+                if self.rc is not None:
+                    self.rc.update(sum(len(p) for p in ps), 1)
                 rec = tuple(np.asarray(p) for p in rs[0])
                 self._slots = {0: rec}
                 self._slot_cdf = {}
@@ -114,17 +155,26 @@ class VideoEncoder:
                 payloads += ps
                 recons.append(rs[0])
                 continue
-            till_kf = self.keyint - (self._idx % self.keyint)
+            till_kf = self._kf_at - self._idx
             target = min(self.gop, till_kf)
             avail = len(self._buf)
             if avail < target and not final:
                 break
             n = min(target, avail)
+            # never let a mini-GoP cross a scene cut — the cut frame
+            # starts the next (key) GoP
+            for i in range(1, n):
+                if self._is_cut(self._buf_sad[i]):
+                    n = i
+                    break
             if n <= 0:
                 break
             g = 1 << (n.bit_length() - 1)      # largest pow2 <= n
+            self._consume_sad(g)
             gf = [self._buf.pop(0) for _ in range(g)]
             ps, rs = self._encode_gop(gf)
+            if self.rc is not None:
+                self.rc.update(sum(len(p) for p in ps), g)
             payloads += ps
             recons += rs
         return payloads, recons
@@ -137,12 +187,16 @@ class VideoEncoder:
     def _layer_lam(self, layer: int) -> float:
         return self.LAYER_LAM[min(layer, len(self.LAYER_LAM) - 1)]
 
+    def _base_q(self) -> int:
+        """Current base qindex: rate-control supplied or the config's."""
+        return self.rc.base_q if self.rc is not None else self.cfg.qindex
+
     def _layer_q(self, layer: int) -> int:
         """Per-layer qindex scaling (the reference's hierarchical-layer
         q offsets, EbRateControlProcess.c CRF qindex per temporal
         layer): anchors below base q, top layers above."""
         mult = (0.85, 0.95, 1.0, 1.06, 1.12)[min(layer, 4)]
-        return max(1, min(255, int(round(self.cfg.qindex * mult))))
+        return max(1, min(255, int(round(self._base_q() * mult))))
 
     def _pick_ref(self, y, cand_slots):
         """Choose the reference slot with the lowest decimated-luma SAD
@@ -273,12 +327,29 @@ class VideoEncoder:
                      out_p, out_r, t0)
 
     def encode_frame(self, y, u, v):
-        if self._idx % self.keyint == 0 or self._dpb is None:
+        yd = np.asarray(y, np.int32)[::4, ::4]
+        cut = False
+        if self._tail_src is not None:
+            s = float(np.abs(yd - self._tail_src).mean())
+            cut = self._is_cut(s)
+            if not cut:
+                self._sad_hist = (self._sad_hist + [s])[-16:]
+        self._tail_src = yd
+        if self._idx >= self._kf_at or cut or self._dpb is None:
+            self._kf_at = self._idx + self.keyint
+            if self.rc is not None:
+                kf_q = max(2, int(round(self._base_q() * 0.7))) \
+                    if self.keyint > 1 else self._base_q()
+                if kf_q != self.intra.cfg.qindex:
+                    self.intra.cfg = replace(self.intra.cfg, qindex=kf_q)
             payloads, recons = self.intra.encode_frames([(y, u, v)])
             payload, rec = payloads[0], recons[0]
             self._cdf_state = None    # key frames reset the CDF chain
         else:
-            payload, rec, _ = self._encode_p(y, u, v)
+            q = self._base_q() if self.rc is not None else None
+            payload, rec, _ = self._encode_p(y, u, v, qindex=q)
+        if self.rc is not None:
+            self.rc.update(len(payload), 1)
         self._dpb = tuple(np.asarray(p) for p in rec)
         self._idx += 1
         return payload, rec
