@@ -44,6 +44,11 @@ def main(argv=None) -> int:
                    help="enable the CDEF in-loop filter (search + signal)")
     p.add_argument("--lr", action="store_true",
                    help="enable loop restoration (SGR search + signal)")
+    p.add_argument("--ccso", action="store_true",
+                   help="enable the fork's grafted CCSO filter (search + "
+                        "signal).  WARNING: like the reference fork's own "
+                        "output, CCSO streams are NOT standard AV1 — "
+                        "decode with our dec_app --ccso, not dav1d")
     p.add_argument("--pyramid", action="store_true",
                    help="hierarchical mini-GoP prediction structure "
                         "(out-of-order refs + show_existing overlays)")
@@ -103,6 +108,7 @@ def main(argv=None) -> int:
                             cdf_update=not args.no_cdf_update,
                             part_search=not args.no_part_search,
                             enable_cdef=args.cdef, enable_lr=args.lr,
+                            enable_ccso=args.ccso,
                             film_grain=max(0, min(50, args.film_grain)))
         from .encoder.presets import apply_preset, verify_settings
         if args.preset is not None:

@@ -18,6 +18,9 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--md5", action="store_true",
                    help="print MD5 of decoded frames (DecApp-style check)")
+    p.add_argument("--ccso", action="store_true",
+                   help="parse the fork's grafted (nonstandard) CCSO "
+                        "syntax — required for streams encoded with --ccso")
     args = p.parse_args(argv)
 
     import jax
@@ -27,7 +30,7 @@ def main(argv=None) -> int:
     from .utils.ivf import read_ivf
     from .utils.y4m import Y4mInfo, Y4mWriter
 
-    dec = Decoder()
+    dec = Decoder(ccso=args.ccso)
     md5 = hashlib.md5()
     n = 0
     wtr = None

@@ -60,6 +60,7 @@ class SeqInfo:
     enable_restoration: bool = False
     monochrome: bool = False
     film_grain_params_present: bool = False
+    enable_ccso: bool = False     # fork graft (nonstandard, opt-in parse)
 
 
 @dataclass
@@ -87,6 +88,7 @@ class FrameInfo:
     film_grain: dict = None
     reference_select: bool = False
     lr_frame_types: tuple = (0, 0, 0)   # 0 NONE 1 WIENER 2 SGR 3 SWITCH
+    ccso: dict = None                   # fork graft; parsed encode_ccso
     cdef_damping: int = 3
     cdef_bits: int = 0
     cdef_y_strengths: tuple = ((0, 0),)     # (pri, sec) decoded (3→4)
@@ -119,7 +121,12 @@ class _TileState:
 
 
 class Decoder:
-    def __init__(self) -> None:
+    def __init__(self, ccso: bool = False) -> None:
+        # ccso=True: expect the fork's nonstandard grafted syntax (seq-level
+        # enable_ccso bit + frame encode_ccso + per-unit tile flags).  Like
+        # the reference fork, CCSO streams are not standard AV1 — the
+        # syntax is not self-describing, so the caller must opt in.
+        self.expect_ccso = ccso
         self.seq: SeqInfo | None = None
         self.dpb = [None] * 8        # (y, u, v) reconstructed refs
         self.dpb_cdf = [None] * 8    # frame-end CDF state per slot
@@ -172,6 +179,10 @@ class Decoder:
         s.enable_superres = bool(r.bit())
         s.enable_cdef = bool(r.bit())
         s.enable_restoration = bool(r.bit())
+        if self.expect_ccso:
+            # fork graft: unconditional extra seq bit
+            # (EbEntropyCoding.c:2872); not present in standard AV1
+            s.enable_ccso = bool(r.bit())
         # color config
         high_bd = r.bit()
         s.bit_depth = 10 if high_bd else 8
@@ -290,6 +301,8 @@ class Decoder:
                 if uses_chroma_lr:
                     _need(r.bit() == 1, "32px chroma LR units only")
             fr.lr_frame_types = tuple(types)
+        if seq.enable_ccso:
+            fr.ccso = self._parse_ccso(r)
         fr.tx_mode_select = bool(r.bit())
         _need(not fr.tx_mode_select, "TX_MODE_LARGEST subset")
         if is_inter:
@@ -300,6 +313,42 @@ class Decoder:
                 _need(r.bit() == 0, "global motion params")
         fr.film_grain = self._parse_film_grain(r, seq, fr)
         return fr
+
+    @staticmethod
+    def _parse_ccso(r: BitReader) -> dict:
+        """encode_ccso read path (fork graft, EbEntropyCoding.c:2361 with
+        CONFIG_D143_CCSO_FM_FLAG=1 + CONFIG_CCSO_SIGFIX=1)."""
+        from ..ops.ccso import CCSO_OFFSETS
+        if not r.bit():                  # ccso_frame_flag
+            return None
+        planes = []
+        for _ in range(3):
+            if not r.bit():              # ccso_enable[plane]
+                planes.append(None)
+                continue
+            bo_only = r.bit()
+            if bo_only:
+                mbl = r.f(3)
+                quant_idx, support, edge_clf = 0, 0, 0
+            else:
+                quant_idx = r.f(2)
+                support = r.f(3)
+                edge_clf = r.bit()
+                mbl = r.f(2)
+            intervals = 1 if bo_only else (3 if edge_clf == 0 else 2)
+            lut = np.zeros(128, np.int32)
+            for d0 in range(intervals):
+                for d1 in range(intervals):
+                    for band in range(1 << mbl):
+                        oi = 0
+                        while oi < 7 and r.bit():
+                            oi += 1
+                        lut[(band << 4) + (d0 << 2) + d1] = \
+                            CCSO_OFFSETS[oi]
+            planes.append(dict(quant_idx=quant_idx, support=support,
+                               edge_clf=edge_clf, max_band_log2=mbl,
+                               bo_only=bo_only, lut=lut))
+        return {"planes": planes}
 
     @staticmethod
     def _parse_film_grain(r: BitReader, seq: SeqInfo, fr) -> dict:
@@ -402,6 +451,9 @@ class Decoder:
         self._v = np.zeros((h // 2, w // 2), np.int32)
         self._cdef_idx = np.zeros((h // 64, w // 64), np.int32)
         self._cdef_read = np.zeros((h // 64, w // 64), bool)
+        # CCSO per-plane 256x256-luma-unit on/off flags (fork graft)
+        self._ccso_flags = np.zeros((3, -(-h // 256), -(-w // 256)),
+                                    np.int32)
         self._skip8 = np.ones((h // 8, w // 8), bool)
         sbh, sbw = h // 64, w // 64
         self._lr_units = [
@@ -535,6 +587,18 @@ class Decoder:
                     val = (val << 1) | dec.decode_bool(0x4000)
                 self._cdef_idx[sbr, sbc] = val
                 self._cdef_read[sbr, sbc] = True
+
+        # CCSO unit flags (fork graft, EbEntropyCoding.c:4008 write_ccso
+        # read path): first block of each 256x256-luma unit, skip or not
+        mi_c_f = mi_c + getattr(st, "x_off", 0) // 4
+        if fr.ccso is not None and mi_r % 64 == 0 and mi_c_f % 64 == 0:
+            ur, uc = mi_r // 64, mi_c_f // 64
+            for p in range(3):
+                if fr.ccso["planes"][p] is not None:
+                    t = cdf.ccso_cdf[p]
+                    f = dec.decode_symbol(t)
+                    cdf.update(t, f)
+                    self._ccso_flags[p, ur, uc] = f
 
         y_mode = 0
         angle_delta = 0
@@ -883,6 +947,16 @@ class Decoder:
                     y, u, v = (np.asarray(p) for p in cdef_apply_params(
                         (y, u, v), self._skip8, params,
                         self.seq.bit_depth))
+                if fr.ccso is not None:
+                    # fork graft: correct post-CDEF planes from the
+                    # pre-CDEF luma (EbCcso.c:626 ccso_frame dataflow)
+                    from ..ops.ccso import ccso_apply_frame
+                    info = {"planes": [
+                        (dict(pi, flags=self._ccso_flags[p])
+                         if pi is not None else None)
+                        for p, pi in enumerate(fr.ccso["planes"])]}
+                    y, u, v = ccso_apply_frame((y, u, v), db_planes[0],
+                                               info, self.seq.bit_depth)
                 if any(fr.lr_frame_types):
                     from ..ops.lr_frame import lr_apply_frame
                     infos = [self._lr_units[p] if fr.lr_frame_types[p]

@@ -86,6 +86,9 @@ class FrameConfig:
     # "load_ref_idx" → update_grain=0 load-from-reference
     film_grain: dict = None
     reference_select: bool = False  # REFERENCE_MODE_SELECT (compound)
+    # CCSO (fork graft; written only when seq.ccso_fork_mode): None →
+    # ccso_frame_flag 0, else the ccso_search info dict ({'planes': [...]})
+    ccso: dict = None
 
 
 def write_sequence_header_obu(cfg: SequenceConfig) -> bytes:
@@ -257,6 +260,12 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
             if uses_chroma_lr:
                 w.bit(1)            # lr_uv_shift → 32px chroma units
 
+    # CCSO params (fork graft; EbEntropyCoding.c:2361 encode_ccso with
+    # CONFIG_D143_CCSO_FM_FLAG=1 + CONFIG_CCSO_SIGFIX=1, EbDefinitions.h:
+    # 1413-1414) — only in nonstandard fork-syntax streams
+    if seq.ccso_fork_mode:
+        _write_ccso(w, fr)
+
     # read_tx_mode
     w.bit(1 if fr.tx_mode_select else 0)
     if is_inter:
@@ -269,6 +278,44 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
             w.bit(0)                # global_motion: is_global per ref
     _write_film_grain_params(w, seq, fr)
     return w
+
+
+def _write_ccso(w: BitWriter, fr: FrameConfig) -> None:
+    """encode_ccso (EbEntropyCoding.c:2361): frame flag, per-plane config,
+    then truncated-unary offset-idx per LUT entry over the signaled
+    (edge-interval² × band) grid; offset alphabet ccso_offset[8]."""
+    from ..ops.ccso import CCSO_OFFSETS
+    info = fr.ccso
+    w.bit(1 if info else 0)
+    if not info:
+        return
+    for p in range(3):
+        pi = info["planes"][p]
+        w.bit(1 if pi else 0)
+        if not pi:
+            continue
+        bo_only = int(pi.get("bo_only", 0))
+        mbl = int(pi["max_band_log2"])
+        edge_clf = int(pi["edge_clf"])
+        w.bit(bo_only)
+        if bo_only:
+            w.f(mbl, 3)
+        else:
+            w.f(int(pi["quant_idx"]), 2)
+            w.f(int(pi["support"]), 3)
+            w.bit(edge_clf)
+            w.f(mbl, 2)
+        intervals = 1 if bo_only else (3 if edge_clf == 0 else 2)
+        lut = pi["lut"]
+        for d0 in range(intervals):
+            for d1 in range(intervals):
+                for band in range(1 << mbl):
+                    oi = CCSO_OFFSETS.index(
+                        int(lut[(band << 4) + (d0 << 2) + d1]))
+                    for k in range(7):      # truncated unary, 7 max bits
+                        w.bit(1 if oi != k else 0)
+                        if oi == k:
+                            break
 
 
 def _write_film_grain_params(w: BitWriter, seq: SequenceConfig,

@@ -61,6 +61,9 @@ class EncoderConfig:
     tile_cols: int = 1          # power-of-two uniform tile columns
     enable_cdef: bool = False   # CDEF search + in-loop filter + signaling
     enable_lr: bool = False     # loop restoration (SGR search + signaling)
+    enable_ccso: bool = False   # fork-grafted CCSO (NONSTANDARD streams:
+                                # dav1d rejects them, like the fork's own
+                                # output; decode with our Decoder(ccso=True))
     tx_search: bool = True      # tx-type RD on 16x16 intra luma leaves
     film_grain: int = 0         # grain synthesis strength 0(off)..50:
                                 # noise_model estimation + §5.9.30 syntax
@@ -82,13 +85,16 @@ class IntraEncoder:
             raise NotImplementedError(
                 "tile columns need SB-aligned equal widths and the "
                 "partition (general) coding path")
-        if (cfg.enable_cdef or cfg.enable_lr) and not cfg.part_search:
+        if (cfg.enable_cdef or cfg.enable_lr or cfg.enable_ccso) \
+                and not cfg.part_search:
             raise NotImplementedError(
-                "CDEF/LR ride the partition coding path (part_search=True)")
+                "CDEF/LR/CCSO ride the partition coding path "
+                "(part_search=True)")
         self.cfg = cfg
         self.seq = SequenceConfig(cfg.width, cfg.height, cfg.bit_depth,
                                   enable_cdef=cfg.enable_cdef,
                                   enable_restoration=cfg.enable_lr,
+                                  ccso_fork_mode=cfg.enable_ccso,
                                   film_grain_params_present=(
                                       cfg.film_grain > 0))
         self._first = True
@@ -272,11 +278,25 @@ class IntraEncoder:
                 rec_b = tuple(np.asarray(p) for p in cdef_apply_params(
                     rec_b, skip8, cdef_params, cfg.bit_depth))
                 cdef_kw = cdef_frame_config_fields(cdef_params)
+            ccso_info = None
+            if cfg.enable_ccso:
+                # fork graft: search + apply between CDEF and LR
+                from ..ops.ccso import ccso_apply_frame
+                from .ccso_search import ccso_search_frame
+                if not cfg.enable_cdef:
+                    db_b = rec_b
+                src = tuple(np.asarray(p, np.int64) for p in frames[b])
+                ccso_info = ccso_search_frame(
+                    src, rec_b, db_b[0], _lambda(cfg.qindex),
+                    cfg.bit_depth)
+                if ccso_info is not None:
+                    rec_b = ccso_apply_frame(rec_b, db_b[0], ccso_info,
+                                             cfg.bit_depth)
             lr_types, lr_infos = (0, 0, 0), None
             if cfg.enable_lr:
                 from ..ops.lr_frame import lr_apply_frame
                 from .lr_search import lr_search_frame
-                if not cfg.enable_cdef:
+                if not cfg.enable_cdef and not cfg.enable_ccso:
                     db_b = rec_b
                 src = tuple(np.asarray(p, np.int32) for p in frames[b])
                 lr_types, lr_infos = lr_search_frame(
@@ -296,6 +316,7 @@ class IntraEncoder:
                                cdef_idx=(cdef_params["idx_map"]
                                          [:, t * sbw_t:(t + 1) * sbw_t]
                                          if cdef_params else None))
+                tc.ccso_info = ccso_info
                 if any(lr_types):
                     sl = slice(t * sbw_t, (t + 1) * sbw_t)
                     tc.set_lr(lr_types, [
@@ -314,7 +335,7 @@ class IntraEncoder:
                              filter_level=(lfv[0], lfv[1]),
                              filter_level_u=lfv[2], filter_level_v=lfv[3],
                              tile_cols_log2=tlog,
-                             lr_frame_types=lr_types,
+                             lr_frame_types=lr_types, ccso=ccso_info,
                              film_grain=self.film_grain_for(frames[b]),
                              **cdef_kw)
             payloads.append(assemble_key_frame(

@@ -57,6 +57,11 @@ class TileCoder:
         self.cdef_idx = cdef_idx
         self.cdef_bits = cdef_bits
         self._cdef_pending = False
+        # CCSO (fork graft): per-plane frame-level unit-flag grids
+        # [uh, uw] (256x256 luma units); one CDF2 symbol per enabled plane
+        # at the first block of each aligned unit (EbEntropyCoding.c:4008
+        # write_ccso)
+        self.ccso_info = None
         # compound frame (REFERENCE_MODE_SELECT, pair = LAST+ALTREF):
         # inter candidate lanes are [single NEWMV, single zero,
         # comp NEW_NEW, comp zero]; mv arrays carry 4 components
@@ -180,6 +185,20 @@ class TileCoder:
             for i in range(self.cdef_bits - 1, -1, -1):
                 enc.encode_bool((v >> i) & 1, 0x4000)
             self._cdef_pending = False
+
+        # CCSO unit flags (fork graft, EbEntropyCoding.c:4008 write_ccso):
+        # at the first block of each 256x256-luma-aligned unit, one CDF2
+        # symbol per enabled plane, regardless of skip
+        if (self.ccso_info is not None and mi_r % 64 == 0 and
+                (mi_c + self.mi_col_off) % 64 == 0):
+            ur, uc = mi_r // 64, (mi_c + self.mi_col_off) // 64
+            for p in range(3):
+                pi = self.ccso_info["planes"][p]
+                if pi is not None:
+                    t = cdf.ccso_cdf[p]
+                    f = int(pi["flags"][ur, uc])
+                    enc.encode_symbol(f, t)
+                    cdf.update(t, f)
 
         y_mode = 0
         if self.kf:

@@ -767,6 +767,22 @@ class VideoEncoder:
                 np.asarray(p) for p in cdef_apply_params(
                     (y_rec_n, u_rec_n, v_rec_n), skip8, cdef_params, bd))
             cdef_kw = cdef_frame_config_fields(cdef_params)
+        ccso_info = None
+        if cfg.enable_ccso:
+            # fork graft: search + in-loop apply between CDEF and LR,
+            # classifying from the pre-CDEF (post-deblock) luma
+            from ..ops.ccso import ccso_apply_frame
+            from .ccso_search import ccso_search_frame
+            from .intra_encoder import _lambda
+            src = (np.asarray(y, np.int64), np.asarray(u, np.int64),
+                   np.asarray(v, np.int64))
+            ccso_info = ccso_search_frame(
+                src, (y_rec_n, u_rec_n, v_rec_n), db_planes[0],
+                _lambda(q), bd)
+            if ccso_info is not None:
+                y_rec_n, u_rec_n, v_rec_n = ccso_apply_frame(
+                    (y_rec_n, u_rec_n, v_rec_n), db_planes[0],
+                    ccso_info, bd)
         lr_types, lr_infos = (0, 0, 0), None
         if cfg.enable_lr:
             from ..ops.lr_frame import lr_apply_frame
@@ -810,6 +826,7 @@ class VideoEncoder:
                            cdef_idx=(cdef_params["idx_map"]
                                      [:, t * sbw_t:(t + 1) * sbw_t]
                                      if cdef_params else None))
+            tc.ccso_info = ccso_info
             if any(lr_types):
                 sl = slice(t * sbw_t, (t + 1) * sbw_t)
                 tc.set_lr(lr_types, [
@@ -834,8 +851,8 @@ class VideoEncoder:
                          filter_level=(lf[0], lf[1]),
                          filter_level_u=lf[2], filter_level_v=lf[3],
                          tile_cols_log2=T.bit_length() - 1,
-                         lr_frame_types=lr_types, **cdef_kw,
-                         **(hdr_extra or {}))
+                         lr_frame_types=lr_types, ccso=ccso_info,
+                         **cdef_kw, **(hdr_extra or {}))
         snap = end_cdf.snapshot() if cfg.cdf_update else None
         if chain and cfg.cdf_update:
             self._cdf_state = snap

@@ -21,6 +21,14 @@ SAMPLE_POS = [
 
 CCSO_PAD = 5  # luma border needed for the widest support
 
+# quantizer step per signaled quant_idx (EbCcso.c ccso_frame quant_sz)
+CCSO_QUANT_SZ = (16, 8, 32, 64)
+
+# signalable per-class offsets (EbEntropyCoding.c:2366 ccso_offset)
+CCSO_OFFSETS = (0, 1, -1, 3, -3, 7, -7, -10)
+
+CCSO_UNIT_LOG2 = 8  # 256x256 luma px per on/off flag (CCSO_BLK_SIZE 7 + 1)
+
 
 def ccso_filter_plane(dst, src_y_ext, offset_lut, *, filter_support: int,
                       quant_step: int, max_band_log2: int, edge_clf: int = 0,
@@ -65,3 +73,44 @@ def ccso_filter_plane(dst, src_y_ext, offset_lut, *, filter_support: int,
     lut_idx = (band << 4) + (c0 << 2) + c1
     off = jnp.take(jnp.asarray(offset_lut, jnp.int32), lut_idx)
     return jnp.clip(dst + off, 0, (1 << bit_depth) - 1)
+
+
+def ccso_apply_frame(planes, pre_cdef_y, info, bit_depth: int = 8):
+    """Whole-frame CCSO apply with per-256x256-luma-unit on/off masking.
+
+    Shared by the encoder in-loop path and the decoder (reference dataflow:
+    EbCdefProcess.c:497 captures the pre-CDEF luma into ext_rec_y, then
+    ccso_frame/EbCcso.c:626 corrects the post-CDEF planes; per-unit flags
+    live in the mi grid, EbCcso.c:312-320).
+
+    planes      (y, u, v) post-CDEF recon, numpy int arrays.
+    pre_cdef_y  post-deblock (pre-CDEF) luma recon — the classifier input.
+    info        {'planes': [None | {'quant_idx', 'support', 'edge_clf',
+                 'max_band_log2', 'bo_only', 'lut'[128], 'flags'[uh,uw]}]}.
+    """
+    ext = np.pad(np.asarray(pre_cdef_y, np.int64).astype(np.int32),
+                 CCSO_PAD, mode="edge")
+    ext_j = jnp.asarray(ext, jnp.int32)
+    out = []
+    for p, plane in enumerate(planes):
+        pi = info["planes"][p] if info else None
+        if pi is None:
+            out.append(plane)
+            continue
+        sc = 0 if p == 0 else 1
+        pl = np.asarray(plane)
+        filt = np.asarray(ccso_filter_plane(
+            jnp.asarray(pl, jnp.int32), ext_j,
+            np.asarray(pi["lut"], np.int32),
+            filter_support=int(pi["support"]),
+            quant_step=CCSO_QUANT_SZ[int(pi["quant_idx"])],
+            max_band_log2=int(pi["max_band_log2"]),
+            edge_clf=int(pi["edge_clf"]),
+            bo_only=bool(pi.get("bo_only", 0)),
+            y_uv_scale=sc, bit_depth=bit_depth))
+        u = 1 << (CCSO_UNIT_LOG2 - sc)
+        h, w = pl.shape
+        m = np.repeat(np.repeat(np.asarray(pi["flags"], bool), u, 0),
+                      u, 1)[:h, :w]
+        out.append(np.where(m, filt, pl).astype(pl.dtype))
+    return tuple(out)

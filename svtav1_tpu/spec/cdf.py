@@ -59,6 +59,10 @@ class CdfContext:
                 arr = arr[qc]
             self._t[k] = arr.copy()
         self._shape_nmv(d["raw_nmvc"].astype(np.uint16))
+        # fork graft: per-plane CCSO unit-flag CDF, default AOM_CDF2(11570)
+        # (EbCabacContextModel.c:641 default_ccso_cdf)
+        self._t["ccso_cdf"] = np.tile(
+            np.array([32768 - 11570, 0, 0], np.uint16), (3, 1))
 
     def _shape_nmv(self, raw: np.ndarray) -> None:
         """Slice the NmvContext blob (joints + 2x NmvComponent,
