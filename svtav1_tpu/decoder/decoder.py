@@ -446,6 +446,7 @@ class Decoder:
                 _need(ref2 is not None, "missing ALTREF reference")
                 self._refp2 = tuple(pad_plane_np(p) for p in ref2)
         self._part_map = np.zeros((h // 32, w // 32), np.int32)
+        self._part_sb_map = np.ones((h // 64, w // 64), np.int32)
         self._y = np.zeros((h, w), np.int32)
         self._u = np.zeros((h // 2, w // 2), np.int32)
         self._v = np.zeros((h // 2, w // 2), np.int32)
@@ -524,7 +525,15 @@ class Decoder:
                 t = cdf.partition_cdf[ctx]
                 p64 = dec.decode_symbol(t, 10)
                 cdf.update(t, p64)
-                _need(p64 == PARTITION_SPLIT, "64x64 blocks unsupported")
+                if p64 == PARTITION_NONE:
+                    self._part_sb_map[sb_r, sb_c + x_off // 64] = 0
+                    self._decode_block(dec, cdf, st, sb_r * 16, sb_c * 16,
+                                       64, sb_r * 2, sb_c * 2, seq, fr,
+                                       is_inter_frame)
+                    st.above_part[mi_c0:mi_c0 + 16] = 16
+                    st.left_part[:] = 16
+                    continue
+                _need(p64 == PARTITION_SPLIT, "unsupported 64x64 partition")
                 for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     br, bc = sb_r * 2 + qr, sb_c * 2 + qc
                     mi_r, mi_c = br * 8, bc * 8
@@ -699,7 +708,7 @@ class Decoder:
                                mv[0], mv[1])
         else:
             if is_inter_frame:
-                sg = 3 if bs == 32 else 2
+                sg = 3 if bs >= 32 else 2
                 y_mode = dec.decode_symbol(cdf.y_mode_cdf[sg], 13)
                 cdf.update(cdf.y_mode_cdf[sg], y_mode)
             else:
@@ -722,8 +731,12 @@ class Decoder:
             grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, y_mode)
             st.mode_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = y_mode
 
-        tx_y = TX_32X32 if bs == 32 else TX_16X16
-        tx_uv = TX_16X16 if bs == 32 else TX_8X8
+        if bs == 64:
+            from ..spec.txfm import TX_64X64
+            tx_y, tx_uv = TX_64X64, TX_32X32
+        else:
+            tx_y = TX_32X32 if bs == 32 else TX_16X16
+            tx_uv = TX_16X16 if bs == 32 else TX_8X8
         planes = ((0, st.y_rec, bs, tx_y),
                   (1, st.u_rec, bs // 2, tx_uv),
                   (2, st.v_rec, bs // 2, tx_uv))
@@ -757,10 +770,17 @@ class Decoder:
                             signs += 1 if sg == 2 else (-1 if sg == 1
                                                         else 0)
                 dctx = 2 if signs > 0 else (1 if signs < 0 else 0)
+                # TX_64X64 codes only its low 32x32 band (adjusted tx
+                # size, spec §5.11.39); the rest of the block is zero
+                rd_n = 32 if pbs == 64 else pbs
                 lev, tx_type = read_coeffs_txb(
-                    dec, cdf, pbs, pbs, txs, DCT_DCT,
+                    dec, cdf, rd_n, rd_n, txs, DCT_DCT,
                     min(plane, 1), tctx, dctx,
                     is_inter=is_inter, intra_mode=y_mode)
+                if rd_n != pbs:
+                    full = np.zeros((pbs, pbs), lev.dtype)
+                    full[:rd_n, :rd_n] = lev
+                    lev = full
                 cul = min(63, int(np.abs(lev).sum()))
                 dcv = int(lev[0, 0])
                 if dcv < 0:
@@ -838,7 +858,14 @@ class Decoder:
             # extended-edge availability: z-order rule for full 32x32
             # blocks; 16x16 leaves only carry Z2-safe modes, for which the
             # extension is never read (replication is then normative)
-            if luma_bs == 32 and bs >= 16:
+            if luma_bs == 64 and bs == 64:
+                # full-SB block: above-right SB is decoded (raster SB
+                # order), below-left never is.  br/bc and tile_bw are in
+                # 32-block units; compare at SB granularity.
+                bw_sb = (tile_bw if tile_bw is not None else w // 32) // 2
+                has_tr = br > 0 and bc // 2 + 1 < bw_sb
+                has_bl = False
+            elif luma_bs == 32 and bs >= 16:
                 qr, qc = br % 2, bc % 2
                 bh_blocks = h // bs
                 bw_blocks = tile_bw if tile_bw is not None else w // bs
@@ -922,18 +949,19 @@ class Decoder:
                 y, u, v = self._decode_tile(tile_data, self.seq, fr)
                 if fr.filter_level[0] or fr.filter_level[1]:
                     pm = self._part_map
+                    psb = self._part_sb_map
                     y = np.asarray(deblock_plane_part(
                         y, pm, 32, 14, fr.filter_level[0],
                         fr.filter_level[1], fr.lf_sharpness,
-                        bd=self.seq.bit_depth))
+                        bd=self.seq.bit_depth, part_sb=psb))
                     u = np.asarray(deblock_plane_part(
                         u, pm, 16, 6, fr.filter_level_u,
                         fr.filter_level_u, fr.lf_sharpness,
-                        bd=self.seq.bit_depth))
+                        bd=self.seq.bit_depth, part_sb=psb))
                     v = np.asarray(deblock_plane_part(
                         v, pm, 16, 6, fr.filter_level_v,
                         fr.filter_level_v, fr.lf_sharpness,
-                        bd=self.seq.bit_depth))
+                        bd=self.seq.bit_depth, part_sb=psb))
                 db_planes = (y.copy(), u.copy(), v.copy())
                 if self.seq.enable_cdef and any(
                         p or s for p, s in (fr.cdef_y_strengths +

@@ -169,10 +169,12 @@ def cdef_search_frame(src, rec, skip8, qindex: int, lam: float,
             "idx_map": idx_map.astype(np.int32)}
 
 
-def build_skip8(part, y_lev, u_lev, v_lev, y_slev, u_slev, v_slev):
+def build_skip8(part, y_lev, u_lev, v_lev, y_slev, u_slev, v_slev,
+                part_sb=None, y_lev_sb=None, u_lev_sb=None, v_lev_sb=None):
     """Per-8x8 coded-skip map [4*bh, 4*bw] bool from one tile's partition
     and level arrays — must match the tile coder's skip semantics
-    (tile_codec.py: skip = all three planes' levels zero)."""
+    (tile_codec.py: skip = all three planes' levels zero).  part_sb plus
+    the *_lev_sb arrays add the 64x64 NONE depth."""
     bh, bw = part.shape
     skip32 = ~(y_lev.reshape(bh, bw, -1).any(-1) |
                u_lev.reshape(bh, bw, -1).any(-1) |
@@ -185,7 +187,16 @@ def build_skip8(part, y_lev, u_lev, v_lev, y_slev, u_slev, v_slev):
     s16 = np.repeat(np.repeat(
         z.transpose(0, 2, 1, 3).reshape(bh * 2, bw * 2), 2, 0), 2, 1)
     pm = np.repeat(np.repeat(part.astype(bool), 4, 0), 4, 1)
-    return np.where(pm, s16, s32)
+    out = np.where(pm, s16, s32)
+    if part_sb is not None:
+        sh, sw = part_sb.shape
+        skip64 = ~(y_lev_sb.reshape(sh, sw, -1).any(-1) |
+                   u_lev_sb.reshape(sh, sw, -1).any(-1) |
+                   v_lev_sb.reshape(sh, sw, -1).any(-1))
+        s64 = np.repeat(np.repeat(skip64, 8, 0), 8, 1)
+        psb = np.repeat(np.repeat(part_sb.astype(bool), 8, 0), 8, 1)
+        out = np.where(psb, out, s64)
+    return out
 
 
 def cdef_frame_config_fields(params):

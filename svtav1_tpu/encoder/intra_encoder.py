@@ -187,32 +187,51 @@ class IntraEncoder:
             vb = jax.device_put(jnp.asarray(vb), self.batch_sharding)
         B, h, w = yb.shape
         bh, bw = h // BLK, w // BLK
+        sh, sw = h // 64, w // 64
+        from ..spec.txfm import TX_64X64
         dummy_p = jnp.zeros((B, 1, bh, bw, 1, 1), jnp.int32)
         dummy_r = jnp.zeros((B, 1, bh, bw), jnp.float32)
         dummy_rs = jnp.zeros((B, 1, bh, bw, 4), jnp.float32)
         dummy_o = jnp.zeros((B, 1, bh, bw), bool)
         dummy_os = jnp.zeros((B, 1, bh, bw, 4), bool)
+        dummy_psb = jnp.zeros((B, 1, sh, sw, 1, 1), jnp.int32)
+        dummy_rsb = jnp.zeros((B, 1, sh, sw), jnp.float32)
+        dummy_osb = jnp.zeros((B, 1, sh, sw), bool)
         ones = jnp.ones((B, bh, bw), bool)
         ones4 = jnp.ones((B, bh, bw, 4), bool)
+        ones_sb = jnp.ones((B, sh, sw), bool)
         free = jnp.full((B, bh, bw), -1, jnp.int32)
-        part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec = \
+        free_sb = jnp.full((B, sh, sw), -1, jnp.int32)
+        (part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec,
+         part_sb, y_mi_sb, y_lev_sb) = \
             encode_plane_wavefront_part(
                 jnp.asarray(yb), BLK, TX_32X32, TX_16X16, cfg.qindex,
                 dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
                 ones, ones4, free, 0, CAND_MODES, SUB_MODES, bd,
-                tuple(cfg.angle_deltas), True, cfg.tx_search)
-        _, u_mi, u_lev, u_smi, u_slev, _, u_rec = \
+                tuple(cfg.angle_deltas), True, cfg.tx_search,
+                sb_search=True, tx_sb=TX_64X64, extra_sb=dummy_psb,
+                extra_rate_sb=dummy_rsb, extra_ok_sb=dummy_osb,
+                intra_ok_sb=ones_sb, force_sb=free_sb)
+        (_, u_mi, u_lev, u_smi, u_slev, _, u_rec,
+         _, _, u_lev_sb) = \
             encode_plane_wavefront_part(
                 jnp.asarray(ub), CBLK, TX_16X16, TX_8X8, cfg.qindex,
                 dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
                 ones, ones4, part, 0, (intra.DC_PRED,), (intra.DC_PRED,),
-                bd, (0,), True)
-        _, v_mi, v_lev, v_smi, v_slev, _, v_rec = \
+                bd, (0,), True,
+                sb_search=True, tx_sb=TX_32X32, extra_sb=dummy_psb,
+                extra_rate_sb=dummy_rsb, extra_ok_sb=dummy_osb,
+                intra_ok_sb=ones_sb, force_sb=part_sb)
+        (_, v_mi, v_lev, v_smi, v_slev, _, v_rec,
+         _, _, v_lev_sb) = \
             encode_plane_wavefront_part(
                 jnp.asarray(vb), CBLK, TX_16X16, TX_8X8, cfg.qindex,
                 dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
                 ones, ones4, part, 0, (intra.DC_PRED,), (intra.DC_PRED,),
-                bd, (0,), True)
+                bd, (0,), True,
+                sb_search=True, tx_sb=TX_32X32, extra_sb=dummy_psb,
+                extra_rate_sb=dummy_rsb, extra_ok_sb=dummy_osb,
+                intra_ok_sb=ones_sb, force_sb=part_sb)
         if T > 1:
             # reassemble full-frame planes/maps from the tile axis for
             # deblocking (the loop filter crosses tile boundaries)
@@ -223,19 +242,21 @@ class IntraEncoder:
             u_rec = unt(u_rec)
             v_rec = unt(v_rec)
             part_f = unt(part)
+            part_sb_f = unt(part_sb)
         else:
             part_f = part
+            part_sb_f = part_sb
         lf = self.lf_levels()
         if lf[0] or lf[1]:
             y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0],
-                                       lf[1], bd=bd)
+                                       lf[1], bd=bd, part_sb=part_sb_f)
             u_rec = deblock_plane_part(u_rec, part_f, CBLK, 6, lf[2],
-                                       lf[2], bd=bd)
+                                       lf[2], bd=bd, part_sb=part_sb_f)
             v_rec = deblock_plane_part(v_rec, part_f, CBLK, 6, lf[3],
-                                       lf[3], bd=bd)
+                                       lf[3], bd=bd, part_sb=part_sb_f)
         return ("part", yb.shape[0] // T, part, y_mi, y_lev, y_smi, y_slev,
                 u_lev, u_slev, v_lev, v_slev, y_stx, y_rec, u_rec, v_rec,
-                frames)
+                frames, part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb)
 
     def _host_finish_part(self, dev):
         from .tile_codec import TileCoder
@@ -243,12 +264,15 @@ class IntraEncoder:
 
         cfg = self.cfg
         (_, n, part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
-         v_slev, y_stx, y_rec, u_rec, v_rec, frames) = dev
+         v_slev, y_stx, y_rec, u_rec, v_rec, frames,
+         part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb) = dev
         arrs = [np.asarray(a) for a in
                 (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
-                 v_slev, y_stx, y_rec, u_rec, v_rec)]
+                 v_slev, y_stx, y_rec, u_rec, v_rec,
+                 part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb)]
         (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev, v_slev,
-         y_stx, y_rec, u_rec, v_rec) = arrs
+         y_stx, y_rec, u_rec, v_rec,
+         part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb) = arrs
         cands = expand_candidates(CAND_MODES, tuple(cfg.angle_deltas))
         cands_sub = expand_candidates(SUB_MODES, (0,))
         T = cfg.tile_cols
@@ -268,7 +292,9 @@ class IntraEncoder:
                     [build_skip8(part[t * n + b], y_lev[t * n + b],
                                  u_lev[t * n + b], v_lev[t * n + b],
                                  y_slev[t * n + b], u_slev[t * n + b],
-                                 v_slev[t * n + b]) for t in range(T)],
+                                 v_slev[t * n + b], part_sb[t * n + b],
+                                 y_lev_sb[t * n + b], u_lev_sb[t * n + b],
+                                 v_lev_sb[t * n + b]) for t in range(T)],
                     axis=1)
                 src = tuple(np.asarray(p, np.int32) for p in frames[b])
                 cdef_params = cdef_search_frame(
@@ -327,7 +353,11 @@ class IntraEncoder:
                                     v_lev[i], y_smi[i], y_slev[i],
                                     u_slev[i], v_slev[i], None, None,
                                     cands, cands_sub, len(cands),
-                                    len(cands_sub), stx_sub=y_stx[i])
+                                    len(cands_sub), stx_sub=y_stx[i],
+                                    part_sb=part_sb[i], mi_sb=y_mi_sb[i],
+                                    lev_sb_y=y_lev_sb[i],
+                                    lev_sb_u=u_lev_sb[i],
+                                    lev_sb_v=v_lev_sb[i])
                 tiles.append(tile)
             lfv = self.lf_levels()
             fr = FrameConfig(base_q_idx=cfg.qindex,

@@ -24,7 +24,7 @@ from .wavefront2 import TX_SEARCH_TYPES
 SB = 64
 
 # size_group_lookup per luma block size (intra y-mode cdf bucket)
-SIZE_GROUP = {32: 3, 16: 2}
+SIZE_GROUP = {64: 3, 32: 3, 16: 2}
 
 
 class TileCoder:
@@ -98,10 +98,17 @@ class TileCoder:
 
     def encode(self, part, mi_top, lev_top_y, lev_top_u, lev_top_v,
                mi_sub, lev_sub_y, lev_sub_u, lev_sub_v, mv_top, mv_sub,
-               cands_top, cands_sub, n_i_top, n_i_sub, stx_sub=None):
+               cands_top, cands_sub, n_i_top, n_i_sub, stx_sub=None,
+               part_sb=None, mi_sb=None, lev_sb_y=None, lev_sb_u=None,
+               lev_sb_v=None, mv_sb=None):
         """part [bh,bw] 0/1; *_top at 32-block granularity; *_sub indexed
         [bh,bw,4(z),...]; mv_top [bh,bw,2]; mv_sub [bh,bw,4,2].  For key
-        frames the inter params may be None."""
+        frames the inter params may be None.
+
+        part_sb [sbh,sbw] (0=64x64 NONE, 1=split) adds the superblock
+        depth: NONE SBs code one 64x64 block — y TXB is TX_64X64 whose
+        coded area is the 32x32 low band lev_sb_y, chroma TX_32X32
+        (lev_sb_u/v), mv from mv_sb (same lane space as mv_top)."""
         enc, cdf = self.enc, self.cdf
         sb_cols, sb_rows = self.w // SB, self.h // SB
         for sb_r in range(sb_rows):
@@ -116,6 +123,21 @@ class TileCoder:
                 self._write_lr_sb(sb_r, sb_c)
                 ctx = M.partition_plane_ctx(int(self.above_part[sb_c * 16]),
                                             int(self.left_part[0]), SB)
+                sb_none = part_sb is not None and not part_sb[sb_r, sb_c]
+                if sb_none:
+                    from ..spec.txfm import TX_64X64
+                    M.write_partition(enc, cdf, ctx, M.PARTITION_NONE, SB)
+                    mv = mv_sb[sb_r, sb_c] if mv_sb is not None else None
+                    self._code_block(sb_r * 16, sb_c * 16, 64,
+                                     int(mi_sb[sb_r, sb_c]), n_i_top,
+                                     cands_top, lev_sb_y[sb_r, sb_c],
+                                     lev_sb_u[sb_r, sb_c],
+                                     lev_sb_v[sb_r, sb_c], mv,
+                                     TX_64X64, TX_32X32)
+                    a, l = M.partition_ctx_value(64, 64)
+                    self.above_part[sb_c * 16:sb_c * 16 + 16] = a
+                    self.left_part[:] = l
+                    continue
                 M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
                 for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     br, bc = sb_r * 2 + qr, sb_c * 2 + qc

@@ -529,6 +529,13 @@ class VideoEncoder:
             mv32b, _ = motion_estimate(yj, rj2, BLK, long_range=lr2)
             mv16b, _ = motion_estimate(yj, rj2, 16, long_range=lr2)
 
+        # 64x64 (SB-depth) inter candidates
+        sh, sw = h // 64, w // 64
+        Nsb = sh * sw
+        mv64, _ = motion_estimate(yj, rj, 64, long_range=lr_me)
+        if comp:
+            mv64b, _ = motion_estimate(yj, rj2, 64, long_range=lr2)
+
         y0 = (jnp.arange(N) // bw * BLK)[None]
         x0 = (jnp.arange(N) % bw * BLK)[None]
         mv32f = mv32.reshape(1, N, 2)
@@ -582,6 +589,28 @@ class VideoEncoder:
         extra_sub = jnp.stack(sub_lanes, 1).reshape(
             1, n_lanes, bh, bw, 4, 16, 16)
 
+        # SB-level (64x64) candidate predictions
+        y0s = (jnp.arange(Nsb) // sw * 64)[None]
+        x0s = (jnp.arange(Nsb) % sw * 64)[None]
+        mv64f = mv64.reshape(1, Nsb, 2)
+        p64_new = predict_inter_blocks(ryp, y0s, x0s, mv64f, h, w, 64, 0,
+                                       bd)
+        p64_zero = predict_inter_blocks(ryp, y0s, x0s,
+                                        jnp.zeros_like(mv64f), h, w, 64,
+                                        0, bd)
+        sb_lanes = [p64_new, p64_zero]
+        if comp:
+            from ..ops.mc import predict_inter_blocks_compound
+            mv64bf = mv64b.reshape(1, Nsb, 2)
+            pc64_new = predict_inter_blocks_compound(
+                ryp, r2yp, y0s, x0s, mv64f, mv64bf, h, w, 64, 0, bd)
+            pc64_zero = predict_inter_blocks_compound(
+                ryp, r2yp, y0s, x0s, jnp.zeros_like(mv64f),
+                jnp.zeros_like(mv64bf), h, w, 64, 0, bd)
+            sb_lanes += [pc64_new, pc64_zero]
+        extra_sb = jnp.stack(sb_lanes, 1).reshape(
+            1, n_lanes, sh, sw, 64, 64)
+
         def _mv_rate(m):
             a = jnp.abs(m.astype(jnp.float32))
             return 2.5 * (jnp.log2(1.0 + a[..., 0]) +
@@ -594,13 +623,18 @@ class VideoEncoder:
         rs_new = 14.0 + _mv_rate(mv16z)
         rs_zero = jnp.full((1, bh, bw, 4), 6.0, jnp.float32)
         rates_sub = [rs_new, rs_zero]
+        rates_sb = [14.0 + _mv_rate(mv64),
+                    jnp.full((1, sh, sw), 6.0, jnp.float32)]
         if comp:
             rates_top += [22.0 + _mv_rate(mv32) + _mv_rate(mv32b),
                           jnp.full((1, bh, bw), 9.0, jnp.float32)]
             rates_sub += [22.0 + _mv_rate(mv16z) + _mv_rate(mv16zb),
                           jnp.full((1, bh, bw, 4), 9.0, jnp.float32)]
+            rates_sb += [22.0 + _mv_rate(mv64) + _mv_rate(mv64b),
+                         jnp.full((1, sh, sw), 9.0, jnp.float32)]
         rate_top = jnp.stack(rates_top, 1)
         rate_sub = jnp.stack(rates_sub, 1)
+        rate_sbl = jnp.stack(rates_sb, 1)
         # tile columns ride the batch axis (slices of every block-grid
         # tensor along bw; MC extras were computed with frame coords)
         T = cfg.tile_cols
@@ -620,23 +654,35 @@ class VideoEncoder:
         src_t = tstack(yj.astype(jnp.int32), 2)
         extra_top_t = tstack(extra_top, 3)
         extra_sub_t = tstack(extra_sub, 3)
+        extra_sb_t = tstack(extra_sb, 3)
         rate_top_t = tstack(rate_top, 3)
         rate_sub_t = tstack(rate_sub, 3)
+        rate_sbl_t = tstack(rate_sbl, 3)
         mv32_t = tstack(mv32, 2)
         mv16z_t = tstack(mv16z, 2)
+        mv64_t = tstack(mv64, 2)
+        sw_t = sw // T
         ones = jnp.ones((T, bh, bw_t), bool)
         ones4 = jnp.ones((T, bh, bw_t, 4), bool)
         ok_top = jnp.ones((T, n_lanes, bh, bw_t), bool)
         ok_sub = jnp.ones((T, n_lanes, bh, bw_t, 4), bool)
+        ok_sbl = jnp.ones((T, n_lanes, sh, sw_t), bool)
+        ones_sb = jnp.ones((T, sh, sw_t), bool)
         free = jnp.full((T, bh, bw_t), -1, jnp.int32)
+        free_sb = jnp.full((T, sh, sw_t), -1, jnp.int32)
 
-        part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec = \
+        from ..spec.txfm import TX_64X64
+        (part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec,
+         part_sb, y_mi_sb, y_lev_sb) = \
             encode_plane_wavefront_part(
                 src_t, BLK, TX_32X32, TX_16X16, q,
                 extra_top_t, rate_top_t, extra_sub_t, rate_sub_t, ok_top,
                 ok_sub, ones, ones4, free, n_lanes, P_INTRA_MODES,
                 SUB_MODES, bd, tuple(cfg.angle_deltas), False,
-                cfg.tx_search, lam_scale)
+                cfg.tx_search, lam_scale,
+                sb_search=True, tx_sb=TX_64X64, extra_sb=extra_sb_t,
+                extra_rate_sb=rate_sbl_t, extra_ok_sb=ok_sbl,
+                intra_ok_sb=ones_sb, force_sb=free_sb)
 
         cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
         cands_sub = expand_candidates(SUB_MODES, (0,))
@@ -644,11 +690,14 @@ class VideoEncoder:
         n_i_sub = len(cands_sub)
         top_inter = y_mi >= n_i_top
         sub_inter = y_smi >= n_i_sub
+        sb_inter = y_mi_sb >= n_i_top        # SB lanes share the top space
         if comp:
             mv32b_t = tstack(mv32b, 2)
             mv16zb_t = tstack(mv16zb, 2)
+            mv64b_t = tstack(mv64b, 2)
             lane_t = y_mi - n_i_top          # <0 intra
             lane_s = y_smi - n_i_sub
+            lane_b = y_mi_sb - n_i_top
             mv_top_f = jnp.concatenate([
                 jnp.where((lane_t == 0)[..., None], mv32_t,
                           jnp.where((lane_t == 2)[..., None], mv32_t, 0)),
@@ -658,10 +707,16 @@ class VideoEncoder:
                           jnp.where((lane_s == 2)[..., None], mv16z_t,
                                     0)),
                 jnp.where((lane_s == 2)[..., None], mv16zb_t, 0)], -1)
+            mv_sb_f = jnp.concatenate([
+                jnp.where((lane_b == 0)[..., None], mv64_t,
+                          jnp.where((lane_b == 2)[..., None], mv64_t, 0)),
+                jnp.where((lane_b == 2)[..., None], mv64b_t, 0)], -1)
         else:
             mv_top_f = jnp.where((y_mi == n_i_top)[..., None], mv32_t, 0)
             mv_sub_f = jnp.where((y_smi == n_i_sub)[..., None], mv16z_t,
                                  0)
+            mv_sb_f = jnp.where((y_mi_sb == n_i_top)[..., None], mv64_t,
+                                0)
 
         # chroma: top 16x16 (part NONE) or 8x8 subs (SPLIT), mv from luma
         y0c, x0c = y0 // 2, x0 // 2
@@ -673,7 +728,13 @@ class VideoEncoder:
             return jnp.concatenate(parts, axis=axis)
         mv_top_fr = tunstack(mv_top_f, 2)          # [1, bh, bw, 2 or 4]
         mv_sub_fr = tunstack(mv_sub_f, 2)
+        mv_sb_fr = tunstack(mv_sb_f, 2)
         nmv = 4 if comp else 2
+        mv_sb_cf = mv_sb_fr.reshape(1, Nsb, nmv)
+        pu_sb = predict_inter_blocks(rup, y0s // 2, x0s // 2,
+                                     mv_sb_cf[..., :2], h, w, 32, 1, bd)
+        pv_sb = predict_inter_blocks(rvp, y0s // 2, x0s // 2,
+                                     mv_sb_cf[..., :2], h, w, 32, 1, bd)
         mv_top_cf = mv_top_fr.reshape(1, N, nmv)
         pu_t = predict_inter_blocks(rup, y0c, x0c, mv_top_cf[..., :2], h,
                                     w, CBLK, 1, bd)
@@ -687,6 +748,16 @@ class VideoEncoder:
         if comp:
             lane_tf = tunstack(lane_t, 2).reshape(1, N)
             lane_sf = tunstack(lane_s, 2).reshape(1, N * 4)
+            lane_bf = tunstack(lane_b, 2).reshape(1, Nsb)
+            cb = (lane_bf >= 2)
+            puc_sb = predict_inter_blocks_compound(
+                rup, r2up, y0s // 2, x0s // 2, mv_sb_cf[..., :2],
+                mv_sb_cf[..., 2:], h, w, 32, 1, bd)
+            pvc_sb = predict_inter_blocks_compound(
+                rvp, r2vp, y0s // 2, x0s // 2, mv_sb_cf[..., :2],
+                mv_sb_cf[..., 2:], h, w, 32, 1, bd)
+            pu_sb = jnp.where(cb[..., None, None], puc_sb, pu_sb)
+            pv_sb = jnp.where(cb[..., None, None], pvc_sb, pv_sb)
             ct = (lane_tf >= 2)
             cs = (lane_sf >= 2)
             puc_t = predict_inter_blocks_compound(
@@ -707,23 +778,32 @@ class VideoEncoder:
             pv_s = jnp.where(cs[..., None, None], pvc_s, pv_s)
         c_ok_top = top_inter[:, None]
         c_ok_sub = sub_inter[:, None]
+        c_ok_sb = sb_inter[:, None]
         c_rate = jnp.zeros((T, 1, bh, bw_t), jnp.float32)
         c_rate_s = jnp.zeros((T, 1, bh, bw_t, 4), jnp.float32)
+        c_rate_sb = jnp.zeros((T, 1, sh, sw_t), jnp.float32)
 
-        def chroma_pass(plane, pt, ps):
+        def chroma_pass(plane, pt, ps, psb):
             return encode_plane_wavefront_part(
                 tstack(jnp.asarray(plane)[None].astype(jnp.int32), 2),
                 CBLK, TX_16X16, TX_8X8, q,
                 tstack(pt.reshape(1, 1, bh, bw, CBLK, CBLK), 3), c_rate,
                 tstack(ps.reshape(1, 1, bh, bw, 4, 8, 8), 3), c_rate_s,
                 c_ok_top, c_ok_sub, ~top_inter, ~sub_inter, part, 1,
-                (0,), (0,), bd, (0,), False, False, lam_scale)
+                (0,), (0,), bd, (0,), False, False, lam_scale,
+                sb_search=True, tx_sb=TX_32X32,
+                extra_sb=tstack(psb.reshape(1, 1, sh, sw, 32, 32), 3),
+                extra_rate_sb=c_rate_sb, extra_ok_sb=c_ok_sb,
+                intra_ok_sb=~sb_inter, force_sb=part_sb)
 
-        _, u_mi, u_lev, u_smi, u_slev, _, u_rec = chroma_pass(u, pu_t, pu_s)
-        _, v_mi, v_lev, v_smi, v_slev, _, v_rec = chroma_pass(v, pv_t, pv_s)
+        (_, u_mi, u_lev, u_smi, u_slev, _, u_rec,
+         _, _, u_lev_sb) = chroma_pass(u, pu_t, pu_s, pu_sb)
+        (_, v_mi, v_lev, v_smi, v_slev, _, v_rec,
+         _, _, v_lev_sb) = chroma_pass(v, pv_t, pv_s, pv_sb)
 
         # reassemble frame planes/maps for (cross-tile) deblocking
         part_f = tunstack(part, 2)
+        part_sb_f = tunstack(part_sb, 2)
         y_rec = tunstack(y_rec, 2)
         u_rec = tunstack(u_rec, 2)
         v_rec = tunstack(v_rec, 2)
@@ -731,17 +811,20 @@ class VideoEncoder:
         if lf[0] or lf[1]:
             from ..ops.deblock import deblock_plane_part
             y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0],
-                                       lf[1], bd=bd)
+                                       lf[1], bd=bd, part_sb=part_sb_f)
             u_rec = deblock_plane_part(u_rec, part_f, CBLK, 6, lf[2],
-                                       lf[2], bd=bd)
+                                       lf[2], bd=bd, part_sb=part_sb_f)
             v_rec = deblock_plane_part(v_rec, part_f, CBLK, 6, lf[3],
-                                       lf[3], bd=bd)
+                                       lf[3], bd=bd, part_sb=part_sb_f)
 
         arrs = [np.asarray(a) for a in
                 (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
-                 v_slev, mv_top_f, mv_sub_f, y_stx)]
+                 v_slev, mv_top_f, mv_sub_f, y_stx,
+                 part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb, mv_sb_f)]
         (part_n, y_mi_n, y_lev_n, y_smi_n, y_slev_n, u_lev_n, u_slev_n,
-         v_lev_n, v_slev_n, mv_t_n, mv_s_n, y_stx_n) = arrs
+         v_lev_n, v_slev_n, mv_t_n, mv_s_n, y_stx_n,
+         psb_n, y_mi_sb_n, y_lev_sb_n, u_lev_sb_n, v_lev_sb_n,
+         mv_sb_n) = arrs
         y_rec_n = np.asarray(y_rec)[0]
         u_rec_n = np.asarray(u_rec)[0]
         v_rec_n = np.asarray(v_rec)[0]
@@ -757,7 +840,9 @@ class VideoEncoder:
             skip8 = np.concatenate(
                 [build_skip8(part_n[t], y_lev_n[t], u_lev_n[t],
                              v_lev_n[t], y_slev_n[t], u_slev_n[t],
-                             v_slev_n[t]) for t in range(T)], axis=1)
+                             v_slev_n[t], psb_n[t], y_lev_sb_n[t],
+                             u_lev_sb_n[t], v_lev_sb_n[t])
+                 for t in range(T)], axis=1)
             src = (np.asarray(y, np.int32), np.asarray(u, np.int32),
                    np.asarray(v, np.int32))
             cdef_params = cdef_search_frame(
@@ -808,6 +893,9 @@ class VideoEncoder:
                     u_lev=u_lev_n, v_lev=v_lev_n, y_smi=y_smi_n,
                     y_slev=y_slev_n, u_slev=u_slev_n, v_slev=v_slev_n,
                     mv_t=mv_t_n, mv_s=mv_s_n, y_stx=y_stx_n,
+                    part_sb=psb_n, y_mi_sb=y_mi_sb_n,
+                    y_lev_sb=y_lev_sb_n, u_lev_sb=u_lev_sb_n,
+                    v_lev_sb=v_lev_sb_n, mv_sb=mv_sb_n,
                     cands=cands, cands_sub=cands_sub, n_i_top=n_i_top,
                     n_i_sub=n_i_sub, comp=comp, q=q, w=w, h=h, lf=lf,
                     cdf0=cdf0, hdr_extra=dict(hdr_extra or {}),
@@ -836,7 +924,12 @@ class VideoEncoder:
                                    u_lev_n[t], v_lev_n[t], y_smi_n[t],
                                    y_slev_n[t], u_slev_n[t], v_slev_n[t],
                                    mv_t_n[t], mv_s_n[t], cands, cands_sub,
-                                   n_i_top, n_i_sub, stx_sub=y_stx_n[t])
+                                   n_i_top, n_i_sub, stx_sub=y_stx_n[t],
+                                   part_sb=psb_n[t], mi_sb=y_mi_sb_n[t],
+                                   lev_sb_y=y_lev_sb_n[t],
+                                   lev_sb_u=u_lev_sb_n[t],
+                                   lev_sb_v=v_lev_sb_n[t],
+                                   mv_sb=mv_sb_n[t])
             tiles.append(tile)
             if t == 0:
                 end_cdf = tcdf

@@ -86,6 +86,18 @@ def partition_bits(qindex: int, bs: int):
     return float(b_none), float(b_split)
 
 
+def partition_bits_sb(qindex: int, bs2: int):
+    """(bits_none, bits_split) of the superblock-level partition symbol
+    alone (the sub-tree costs already include their own partition bits)."""
+    from ..spec.cdf import CdfContext
+    from ..ec.modes import PARTITION_NONE, PARTITION_SPLIT
+    cdf = CdfContext(qindex)
+    bsl = {64: 3, 32: 2}[bs2]
+    t = cdf.partition_cdf[bsl * 4]
+    return (float(_cdf_sym_bits(t, PARTITION_NONE)),
+            float(_cdf_sym_bits(t, PARTITION_SPLIT)))
+
+
 def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 qindex: int, extra_top, extra_rate_top,
                                 extra_sub, extra_rate_sub, extra_ok_top,
@@ -94,7 +106,11 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 modes_top: tuple, modes_sub: tuple,
                                 bd: int = 8, angle_deltas: tuple = (0,),
                                 kf: bool = True, tx_search: bool = False,
-                                lam_scale: float = 1.0):
+                                lam_scale: float = 1.0,
+                                sb_search: bool = False, tx_sb: int = None,
+                                extra_sb=None, extra_rate_sb=None,
+                                extra_ok_sb=None, intra_ok_sb=None,
+                                force_sb=None):
     """Public wrapper: computes the per-qindex RD inputs host-side and
     passes them traced so per-frame q changes reuse the compilation.
 
@@ -102,37 +118,58 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
     winners over the reduced intra set (TX_SEARCH_TYPES) — reference
     MDS3 tx-type search (Docs/Appendix-TX-Search.md).
     lam_scale: RD lambda multiplier (per-temporal-layer rate pressure,
-    the reference's layer lambda weighting in EbModeDecisionConfig)."""
+    the reference's layer lambda weighting in EbModeDecisionConfig).
+
+    sb_search: add the superblock (2*bs) partition depth: each 2bs x 2bs
+    quad also evaluates a whole-block NONE candidate set (single
+    TX_64X64/TX_32X32 transform block, intra modes_top + extras given by
+    extra_sb/extra_rate_sb/extra_ok_sb, gated by intra_ok_sb, forced by
+    force_sb {-1 free, 0 NONE, 1 SPLIT}) against the 32-tree RD cost —
+    the reference's PD0 64x64 depth (EbProductCodingLoop.c d2 decision).
+    Returns 3 extra outputs (part_sb [B,sh,sw] 0=NONE/1=split,
+    mi_sb [B,sh,sw], lev_sb [B,sh,sw,32,32] coded-area levels)."""
     cands_top = expand_candidates(modes_top, angle_deltas)
     cands_sub = expand_candidates(modes_sub, (0,))
     dc, ac = tbl.qindex_to_dq(qindex, bd)
     bn, bsp = partition_bits(qindex, bs)
     mode_ids = np.array([m for m, _ in cands_sub], np.int32)
+    if sb_search:
+        bn2, bsp2 = partition_bits_sb(qindex, 2 * bs)
+        rate_sb = intra_mode_rate_table(cands_top, qindex, kf=kf)
+    else:
+        bn2 = bsp2 = 0.0
+        rate_sb = np.zeros(1, np.float32)
     rd = (jnp.int32(dc), jnp.int32(ac),
           jnp.float32(_lambda(qindex) * lam_scale),
           jnp.asarray(intra_mode_rate_table(cands_top, qindex, kf=kf)),
           jnp.asarray(intra_mode_rate_table(cands_sub, qindex, kf=kf)),
           jnp.float32(bn), jnp.float32(bsp),
-          jnp.asarray(txt_rate_table(qindex)), jnp.asarray(mode_ids))
+          jnp.asarray(txt_rate_table(qindex)), jnp.asarray(mode_ids),
+          jnp.asarray(rate_sb), jnp.float32(bn2), jnp.float32(bsp2))
     return _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                                 extra_sub, extra_rate_sub, extra_ok_top,
                                 extra_ok_sub, intra_ok_top, intra_ok_sub,
-                                force_part, bs, tx_top, tx_sub, n_extra,
+                                force_part, extra_sb, extra_rate_sb,
+                                extra_ok_sb, intra_ok_sb, force_sb,
+                                bs, tx_top, tx_sub, n_extra,
                                 modes_top, modes_sub, bd, angle_deltas, kf,
-                                tx_search)
+                                tx_search, sb_search, tx_sb)
 
 
 @partial(jax.jit,
          static_argnames=("bs", "tx_top", "tx_sub", "modes_top",
                           "modes_sub", "bd", "angle_deltas", "n_extra",
-                          "kf", "tx_search"))
+                          "kf", "tx_search", "sb_search", "tx_sb"))
 def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                          extra_sub, extra_rate_sub, extra_ok_top,
                          extra_ok_sub, intra_ok_top, intra_ok_sub,
-                         force_part, bs: int, tx_top: int, tx_sub: int,
+                         force_part, extra_sb, extra_rate_sb, extra_ok_sb,
+                         intra_ok_sb, force_sb,
+                         bs: int, tx_top: int, tx_sub: int,
                          n_extra: int, modes_top: tuple, modes_sub: tuple,
                          bd: int = 8, angle_deltas: tuple = (0,),
-                         kf: bool = True, tx_search: bool = False):
+                         kf: bool = True, tx_search: bool = False,
+                         sb_search: bool = False, tx_sb: int = None):
     """src [B,h,w] → (part [B,bh,bw] int32, mi_top [B,bh,bw],
     lev_top [B,bh,bw,bs,bs], mi_sub [B,bh,bw,4], lev_sub [B,bh,bw,4,h2,h2],
     recon [B,h,w]).
@@ -145,10 +182,12 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
     force_part [B,bh,bw]: -1 free, 0 NONE, 1 SPLIT.
     Candidate index space: [0..n_intra) intra then extras."""
     (dqdc, dqac, lam, rate_top, rate_sub, bits_none, bits_split,
-     txt_tbl, mode_ids) = rd
+     txt_tbl, mode_ids, rate_sb, bits_none_sb, bits_split_sb) = rd
     B, h, w = src.shape
     hs = bs // 2
+    bs2 = bs * 2
     bh, bw = h // bs, w // bs
+    sh, sw = h // bs2, w // bs2
     rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _quad_tables(bh, bw)
     D = rs_t.shape[2]
     src = src.astype(jnp.int32)
@@ -394,6 +433,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         cost_split = sub_cost + lam * bits_split
         fp = force_part[:, rs, cs].reshape(-1)
         split = jnp.where(fp < 0, cost_split < cost_none, fp == 1)
+        cost_tree = jnp.minimum(cost_none, cost_split)
         rec_final = jnp.where(split[:, None, None], loc, best_top[3])
 
         rec_d = rec_final.reshape(B, D, bs, bs)
@@ -406,23 +446,145 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                        best_top[2].reshape(B, D, bs, bs),
                        jnp.stack(sub_mi, -1).reshape(B, D, 4),
                        jnp.stack(sub_lev, -3).reshape(B, D, 4, hs, hs),
-                       jnp.stack(sub_tx, -1).reshape(B, D, 4))
+                       jnp.stack(sub_tx, -1).reshape(B, D, 4)), \
+            cost_tree.reshape(B, D)
+
+    # ---- superblock (2bs x 2bs) NONE evaluation ------------------------
+    # Single whole-SB transform block (TX_64X64 codes only its low 32x32
+    # band — spec §7.13.3 adjusted tx size); intra prediction from SB
+    # edges with the z-order availability of a full-SB block (above-right
+    # SB is on an earlier 2:1 diagonal, below-left never available).
+    nC = 32 if bs2 == 64 else bs2          # coded coefficient area
+    ar_sb = jnp.arange(bs2)
+    cands_sbl = expand_candidates(modes_top, angle_deltas)
+    txb_sb = 0.0 if kf else 1.0
+
+    def txq_sb(pred, f_src):
+        resid = f_src - pred
+        coeff = fwd_txfm2d(resid, tx_sb, DCT_DCT, bd)
+        if bs2 == 64:
+            coeff = coeff.at[..., nC:, :].set(0)
+            coeff = coeff.at[..., :, nC:].set(0)
+        lev = quantize_dq(coeff, tx_sb, dqdc, dqac, bd)
+        dq = dequantize_dq(lev, tx_sb, dqdc, dqac, bd)
+        recb = add_residual_clip(pred, inv_txfm2d(dq, tx_sb, DCT_DCT, bd),
+                                 bd)
+        sse = jnp.sum((f_src - recb) ** 2, axis=(-1, -2)).astype(jnp.float32)
+        lev_c = lev[..., :nC, :nC]
+        rb = _resid_bits(lev_c, 32)
+        nnz = jnp.sum(lev_c != 0, axis=(-1, -2))
+        rb = rb + jnp.where(nnz > 0, txb_sb, 0.0)
+        return lev_c, recb, sse, rb
+
+    def eval_sb(recon, sbr, sbc):
+        """sbr/sbc [D] → (cost [B*D], mi [B*D], lev [B*D,nC,nC],
+        rec [B*D,bs2,bs2])."""
+        y = sbr * bs2
+        x = sbc * bs2
+        ha = (sbr > 0)[None, :, None]
+        hl = (sbc > 0)[None, :, None]
+        above_real = gather_rows(recon, jnp.maximum(y - 1, 0), x, bs2)
+        left_real = gather_cols(recon, y, jnp.maximum(x - 1, 0), bs2)
+        corner_real = recon[:, jnp.maximum(y - 1, 0), jnp.maximum(x - 1, 0)]
+        above = jnp.where(ha, above_real,
+                          jnp.where(hl, left_real[..., 0:1], base - 1))
+        left = jnp.where(hl, left_real,
+                         jnp.where(ha, above_real[..., 0:1], base + 1))
+        ha1, hl1 = ha[..., 0], hl[..., 0]
+        corner = jnp.where(ha1 & hl1, corner_real,
+                           jnp.where(ha1, above_real[..., 0],
+                                     jnp.where(hl1, left_real[..., 0],
+                                               base)))
+        htr = (ha1 & ((sbc + 1 < sw)[None, :]))[..., None]
+        tr_real = gather_rows(recon, jnp.maximum(y - 1, 0),
+                              jnp.minimum(x + bs2, w - bs2), bs2)
+        above_ext = jnp.concatenate(
+            [above, jnp.where(htr, tr_real, above[..., -1:])], axis=-1)
+        left_ext = jnp.concatenate(
+            [left, left[..., -1:].repeat(bs2, -1)], axis=-1)
+
+        blocks = gather_blocks(src, y, x, bs2)
+        fb = lambda t: t.reshape((B * D,) + t.shape[2:])
+        f_src = fb(blocks)
+        f_above, f_left, f_corner = map(fb, (above, left, corner))
+        f_above_ext, f_left_ext = map(fb, (above_ext, left_ext))
+        f_ha = jnp.broadcast_to(ha1, (B, D)).reshape(-1)
+        f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
+        f_iok = intra_ok_sb[:, sbr, sbc].reshape(-1)
+
+        best = None
+        for mi, (mode, delta) in enumerate(cands_sbl):
+            if mode == intra.DC_PRED:
+                p = [intra.dc_pred(f_above, f_left, a, l, bd)
+                     for a, l in ((True, True), (True, False),
+                                  (False, True), (False, False))]
+                haa = f_ha[:, None, None]
+                hll = f_hl[:, None, None]
+                pred = jnp.where(haa & hll, p[0],
+                                 jnp.where(haa, p[1],
+                                           jnp.where(hll, p[2], p[3])))
+            elif mode in DIRECTIONAL and (delta != 0 or mode not in
+                                          (intra.V_PRED, intra.H_PRED)):
+                pred = dr_pred(mode, delta, f_above_ext, f_left_ext,
+                               f_corner, bs2, bd)
+            else:
+                pred = intra.predict(mode, f_above, f_left, f_corner)
+            lev, recb, sse, rb = txq_sb(pred, f_src)
+            cost = jnp.where(f_iok, sse + lam * (rate_sb[mi] + rb), BIG)
+            pack = (cost, jnp.full_like(cost.astype(jnp.int32), mi), lev,
+                    recb, pred, sse + lam * rb)
+            best = pack if best is None else _take(best, pack)
+        n_i = len(cands_sbl)
+        for e in range(n_extra):
+            pred = fb(extra_sb[:, e][:, sbr, sbc])
+            rate = extra_rate_sb[:, e][:, sbr, sbc].reshape(-1)
+            ok = extra_ok_sb[:, e][:, sbr, sbc].reshape(-1)
+            lev, recb, sse, rb = txq_sb(pred, f_src)
+            cost = jnp.where(ok, sse + lam * (rate + rb), BIG)
+            pack = (cost, jnp.full_like(cost.astype(jnp.int32), n_i + e),
+                    lev, recb, pred, sse + lam * rb)
+            best = _take(best, pack)
+        return best[0], best[1], best[2], best[3]
 
     def step(recon, xs):
         rs, cs, valid, has_tr, has_bl = xs
+        if sb_search:
+            sbr, sbc = rs[0] // 2, cs[0] // 2
+            sb_cost, sb_mi, sb_lev, sb_rec = eval_sb(recon, sbr, sbc)
         outs = []
+        cost_tot = 0.0
         for z in range(4):
-            recon, o = sub_step(recon, rs[z], cs[z], valid[z], has_tr[z],
-                                has_bl[z])
+            recon, o, cz = sub_step(recon, rs[z], cs[z], valid[z],
+                                    has_tr[z], has_bl[z])
             outs.append(o)
-        return recon, tuple(jnp.stack([o[k] for o in outs], 1)
-                            for k in range(6))
+            cost_tot = cost_tot + cz
+        main = tuple(jnp.stack([o[k] for o in outs], 1) for k in range(6))
+        if not sb_search:
+            return recon, main
+        cost_none = sb_cost.reshape(B, D) + lam * bits_none_sb
+        cost_split = cost_tot + lam * bits_split_sb
+        fsb = force_sb[:, sbr, sbc]
+        use_sb = jnp.where(fsb < 0, cost_none < cost_split, fsb == 0)
+        y = sbr * bs2
+        x = sbc * bs2
+        cur = gather_blocks(recon, y, x, bs2)          # [B, D, bs2, bs2]
+        rec_fin = jnp.where(use_sb[..., None, None],
+                            sb_rec.reshape(B, D, bs2, bs2), cur)
+        y_eff = jnp.where(valid[0], y, h + bs2)
+        rows = y_eff[:, None, None] + ar_sb[None, :, None]
+        colx = x[:, None, None] + ar_sb[None, None, :]
+        recon = recon.at[:, rows, colx].set(rec_fin, mode="drop")
+        sb_out = ((~use_sb).astype(jnp.int32),
+                  sb_mi.reshape(B, D),
+                  sb_lev.reshape(B, D, nC, nC))
+        return recon, main + sb_out
 
     recon0 = jnp.zeros((B, h, w), jnp.int32)
-    recon, (part_d, mi_d, lev_d, smi_d, slev_d, stx_d) = jax.lax.scan(
+    recon, ys = jax.lax.scan(
         step, recon0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
                        jnp.asarray(valid_t), jnp.asarray(has_tr_t),
                        jnp.asarray(has_bl_t)))
+    part_d, mi_d, lev_d, smi_d, slev_d, stx_d = ys[:6]
 
     flat_idx = rs_t * bw + cs_t
     idx = jnp.asarray(np.where(valid_t, flat_idx, bh * bw))
@@ -433,6 +595,19 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         out = out.at[:, idx].set(jnp.moveaxis(d, 1, 0), mode="drop")
         return out.reshape((B, bh, bw) + extra_shape)
 
-    return (undiag(part_d, ()), undiag(mi_d, ()),
+    outs = (undiag(part_d, ()), undiag(mi_d, ()),
             undiag(lev_d, (bs, bs)), undiag(smi_d, (4,)),
             undiag(slev_d, (4, hs, hs)), undiag(stx_d, (4,)), recon)
+    if not sb_search:
+        return outs
+
+    sb_flat = (rs_t[:, 0, :] // 2) * sw + (cs_t[:, 0, :] // 2)
+    sb_idx = jnp.asarray(np.where(valid_t[:, 0, :], sb_flat, sh * sw))
+
+    def undiag_sb(d, extra_shape):
+        out = jnp.zeros((B, sh * sw) + extra_shape, d.dtype)
+        out = out.at[:, sb_idx].set(jnp.moveaxis(d, 1, 0), mode="drop")
+        return out.reshape((B, sh, sw) + extra_shape)
+
+    return outs + (undiag_sb(ys[6], ()), undiag_sb(ys[7], ()),
+                   undiag_sb(ys[8], (nC, nC)))

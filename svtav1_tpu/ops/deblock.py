@@ -207,17 +207,24 @@ def deblock_plane_uniform(plane, spacing: int, filter_length: int,
                                    "level_h", "sharpness", "bd"))
 def deblock_plane_part(plane, part, spacing: int, filter_length: int,
                        level_v: int, level_h: int, sharpness: int = 0,
-                       bd: int = 8):
+                       bd: int = 8, part_sb=None):
     """Partition-aware deblock: edges on the `spacing` grid always filter;
     half-spacing edges filter only inside blocks marked split in
     `part` [..., h//spacing, w//spacing].  Filter taps are unchanged
     (16/32 luma TX both take the 14-tap path, 8/16 chroma the 6-tap path,
-    EbDecLF.c dec_set_lpf_parameters), so only the edge set varies."""
+    EbDecLF.c dec_set_lpf_parameters), so only the edge set varies.
+
+    part_sb [..., h//(2*spacing), w//(2*spacing)] (0 = whole-SB block,
+    1 = split) adds the superblock depth: `spacing` edges that are not on
+    the 2*spacing grid — and all half-spacing edges — filter only inside
+    split SBs (a 64x64 NONE block is one TX with no interior tx edges)."""
     h, w = plane.shape[-2], plane.shape[-1]
     x = jnp.asarray(plane).astype(jnp.int32)
     part = jnp.asarray(part)
     hs = spacing // 2
+    sp2 = spacing * 2
     ys_blk = np.arange(h) // spacing
+    ys_sb = np.arange(h) // sp2
     xs_all = np.arange(hs, w, hs)
     on_grid = (xs_all % spacing) == 0
     xb = xs_all // spacing
@@ -228,6 +235,11 @@ def deblock_plane_part(plane, part, spacing: int, filter_length: int,
         px = x[..., :, cols]                             # [..., h, E, 14]
         act = (part[..., ys_blk, :][..., :, xb] == 1) | \
             jnp.asarray(on_grid)
+        if part_sb is not None:
+            psb = jnp.asarray(part_sb)
+            on_sb = (xs_all % sp2) == 0
+            sb_split = psb[..., ys_sb, :][..., :, xs_all // sp2] == 1
+            act = jnp.asarray(on_sb) | (act & sb_split)
         filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
         px = jnp.where(act[..., None], filt, px)
         lo, hi = _WRITE_WIN[filter_length]
@@ -244,6 +256,12 @@ def deblock_plane_part(plane, part, spacing: int, filter_length: int,
         px = xt[..., :, rows]                            # [..., w, E, 14]
         act = (jnp.swapaxes(part, -1, -2)[..., xs_blk, :][..., :, yb]
                == 1) | jnp.asarray(on_grid_h)
+        if part_sb is not None:
+            psb = jnp.asarray(part_sb)
+            on_sb_h = (ys_all % sp2) == 0
+            sb_split_h = jnp.swapaxes(psb, -1, -2)[
+                ..., np.arange(w) // sp2, :][..., :, ys_all // sp2] == 1
+            act = jnp.asarray(on_sb_h) | (act & sb_split_h)
         filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
         px = jnp.where(act[..., None], filt, px)
         lo, hi = _WRITE_WIN[filter_length]

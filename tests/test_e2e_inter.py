@@ -171,3 +171,84 @@ def test_partition_split_conformance(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(mine).astype(np.uint8), theirs,
                 err_msg=f"frame {i} plane {name}")
+
+
+def test_partition_sb64_conformance(tmp_path):
+    """Smooth panning content makes whole 64x64 SBs pick the NONE depth
+    (single TX_64X64 luma TXB, 32x32 chroma); streams must stay
+    frame-exact in dav1d (incl. SB-aware deblocking) and at least one SB
+    must actually choose the 64 depth."""
+    import os
+    import pickle
+    from svtav1_tpu.encoder.intra_encoder import EncoderConfig
+    from svtav1_tpu.encoder.video_encoder import VideoEncoder
+    from svtav1_tpu.utils.ivf import IvfWriter
+
+    w, h, n = 192, 128, 4
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        yf = np.clip(90 + 90 * np.sin((xx + 7 * t) / 90.0) +
+                     30 * np.cos(yy / 70.0), 0, 255).astype(np.uint8)
+        uf = np.clip(120 + 30 * np.sin(xx[::2, ::2] / 60.0), 0,
+                     255).astype(np.uint8)
+        vf = np.clip(130 + 30 * np.cos(yy[::2, ::2] / 50.0), 0,
+                     255).astype(np.uint8)
+        frames.append((yf, uf, vf))
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    os.environ["SVT_DUMP_DIR"] = str(dump)
+    try:
+        enc = VideoEncoder(EncoderConfig(w, h, qindex=140), keyint=64)
+        recons = []
+        with open(tmp_path / "sb.ivf", "wb") as f:
+            ivf = IvfWriter(f, w, h)
+            for i, fr in enumerate(frames):
+                payload, rec = enc.encode_frame(*fr)
+                ivf.write_frame(payload, i)
+                recons.append(rec)
+            ivf.finalize()
+    finally:
+        del os.environ["SVT_DUMP_DIR"]
+    n64 = 0
+    for p in sorted(dump.glob("pframe_*.pkl")):
+        with open(p, "rb") as f:
+            d = pickle.load(f)
+        n64 += int((d["part_sb"] == 0).sum())
+    assert n64 > 0, "no SB chose the 64x64 NONE depth on smooth content"
+    decoded = _dav1d_frames(tmp_path / "sb.ivf", w, h, n)
+    for i, (rec, dav) in enumerate(zip(recons, decoded)):
+        for name, mine, theirs in zip("yuv", rec, dav):
+            np.testing.assert_array_equal(
+                np.asarray(mine).astype(np.uint8), theirs,
+                err_msg=f"frame {i} plane {name}")
+
+
+def test_partition_sb64_own_decoder():
+    """Our decoder must parse/reconstruct 64x64 NONE blocks identically."""
+    from svtav1_tpu.decoder.decoder import Decoder
+    from svtav1_tpu.encoder.intra_encoder import EncoderConfig
+    from svtav1_tpu.encoder.video_encoder import VideoEncoder
+
+    w, h, n = 192, 128, 3
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        yf = np.clip(90 + 90 * np.sin((xx + 7 * t) / 90.0) +
+                     30 * np.cos(yy / 70.0), 0, 255).astype(np.uint8)
+        uf = np.clip(120 + 30 * np.sin(xx[::2, ::2] / 60.0), 0,
+                     255).astype(np.uint8)
+        vf = np.clip(130 + 30 * np.cos(yy[::2, ::2] / 50.0), 0,
+                     255).astype(np.uint8)
+        frames.append((yf, uf, vf))
+    enc = VideoEncoder(EncoderConfig(w, h, qindex=140), keyint=64)
+    dec = Decoder()
+    for i, fr in enumerate(frames):
+        payload, rec = enc.encode_frame(*fr)
+        out = dec.decode_frame_obus(payload)
+        assert out is not None
+        for name, mine, theirs in zip("yuv", rec, out):
+            np.testing.assert_array_equal(
+                np.asarray(mine).astype(np.uint8), theirs,
+                err_msg=f"frame {i} plane {name}")
