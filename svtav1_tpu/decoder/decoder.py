@@ -724,9 +724,13 @@ class Decoder:
                 t = cdf.angle_delta_cdf[y_mode - 1]
                 angle_delta = dec.decode_symbol(t) - 3
                 cdf.update(t, angle_delta + 3)
-            t = cdf.uv_mode_cdf[1][y_mode]
-            uv_mode = dec.decode_symbol(t, 14)
-            cdf.update(t, uv_mode)
+            # CfL allowed only for blocks <= 32x32 (spec 5.11.5): the
+            # 64x64 path reads the 13-symbol UV-mode CDF
+            cfl = bs <= 32
+            nsyms = 14 if cfl else 13
+            t = cdf.uv_mode_cdf[int(cfl)][y_mode]
+            uv_mode = dec.decode_symbol(t, nsyms)
+            cdf.update(t, uv_mode, nsyms)
             _need(uv_mode == 0, "UV DC subset")
             grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, y_mode)
             st.mode_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = y_mode

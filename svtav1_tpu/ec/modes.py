@@ -71,7 +71,7 @@ def write_uv_mode(enc, cdf, cfl_allowed: bool, y_mode: int, uv_mode: int):
     t = cdf.uv_mode_cdf[int(cfl_allowed)][y_mode]
     nsyms = 14 if cfl_allowed else 13
     enc.encode_symbol(uv_mode, t, nsyms)
-    cdf.update(t, uv_mode)
+    cdf.update(t, uv_mode, nsyms)
 
 
 def is_directional(mode: int) -> bool:

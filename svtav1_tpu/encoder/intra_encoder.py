@@ -154,7 +154,8 @@ class IntraEncoder:
                                           bd=bd)
             v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3],
                                           bd=bd)
-        return len(frames), y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec
+        return (len(frames), y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec,
+                frames)
 
     def _device_encode_part(self, yb, ub, vb, frames):
         """Partition-search device stage (32 NONE vs SPLIT 16).  Tile
@@ -247,6 +248,25 @@ class IntraEncoder:
             part_f = part
             part_sb_f = part_sb
         lf = self.lf_levels()
+        if cfg.lf_level < 0:
+            # frame-level DLF RDO (EbDeblockingFilter.c search): sweep
+            # luma levels around the heuristic, batch-summed SSE
+            from ..ops.deblock import dlf_sse_part
+            base = lf[0]
+            cand = [0, max(1, base // 2), max(1, base * 3 // 4),
+                    max(1, base), base * 5 // 4 + 1, base * 3 // 2 + 1]
+            cand = [min(63, c) for c in cand]
+            src_y = jnp.asarray(yb).astype(jnp.int32)
+            if T > 1:
+                src_y = jnp.concatenate(
+                    [src_y[t * (B // T):(t + 1) * (B // T)]
+                     for t in range(T)], axis=2)
+            sse = np.asarray(dlf_sse_part(
+                y_rec, src_y, part_f, jnp.asarray(cand, jnp.int32),
+                BLK, 14, bd=bd, part_sb=part_sb_f))
+            l = int(cand[int(np.argmin(sse))])
+            lc = max(0, l * 3 // 4)
+            lf = (l, l, lc, lc)
         if lf[0] or lf[1]:
             y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0],
                                        lf[1], bd=bd, part_sb=part_sb_f)
@@ -256,7 +276,8 @@ class IntraEncoder:
                                        lf[3], bd=bd, part_sb=part_sb_f)
         return ("part", yb.shape[0] // T, part, y_mi, y_lev, y_smi, y_slev,
                 u_lev, u_slev, v_lev, v_slev, y_stx, y_rec, u_rec, v_rec,
-                frames, part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb)
+                frames, part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb,
+                lf)
 
     def _host_finish_part(self, dev):
         from .tile_codec import TileCoder
@@ -265,7 +286,7 @@ class IntraEncoder:
         cfg = self.cfg
         (_, n, part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
          v_slev, y_stx, y_rec, u_rec, v_rec, frames,
-         part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb) = dev
+         part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb, lfv) = dev
         arrs = [np.asarray(a) for a in
                 (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
                  v_slev, y_stx, y_rec, u_rec, v_rec,
@@ -359,7 +380,6 @@ class IntraEncoder:
                                     lev_sb_u=u_lev_sb[i],
                                     lev_sb_v=v_lev_sb[i])
                 tiles.append(tile)
-            lfv = self.lf_levels()
             fr = FrameConfig(base_q_idx=cfg.qindex,
                              disable_cdf_update=not cfg.cdf_update,
                              filter_level=(lfv[0], lfv[1]),
@@ -380,7 +400,7 @@ class IntraEncoder:
         if dev and dev[0] == "part":
             return self._host_finish_part(dev)
         cfg = self.cfg
-        n, y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec = dev
+        n, y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec, frames = dev
         y_mi = np.asarray(y_mi)
         y_lev, u_lev, v_lev = map(np.asarray, (y_lev, u_lev, v_lev))
         y_rec, u_rec, v_rec = map(np.asarray, (y_rec, u_rec, v_rec))

@@ -231,7 +231,9 @@ class TileCoder:
             M.write_kf_y_mode(enc, cdf, a_mode, l_mode, mode)
             if M.is_directional(mode):
                 M.write_angle_delta(enc, cdf, mode, delta)
-            M.write_uv_mode(enc, cdf, True, mode, 0)
+            # CfL is only allowed for blocks <= 32x32 (spec 5.11.5
+            # intra_frame_mode_info); 64x64 blocks use the 13-symbol CDF
+            M.write_uv_mode(enc, cdf, bs <= 32, mode, 0)
             grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, mode)
             self.mode_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = mode
         else:
@@ -254,8 +256,10 @@ class TileCoder:
                 a_ref = nb_ref(mi_r - 1, mi_c, have_above)
                 l_ref = nb_ref(mi_r, mi_c - 1, have_left)
                 counts = IM.neighbor_ref_counts(a_ref, l_ref)
+                # lane layout: 0=NEW, 1=zero, 2=predicted-MV single-ref;
+                # compound lanes start at 3 (video_encoder lane order)
                 lane = idx - n_intra
-                is_comp = self.comp and lane >= 2
+                is_comp = self.comp and lane >= 3
                 if self.comp:
                     def nb_info(r, c, avail):
                         if not avail:
@@ -271,8 +275,7 @@ class TileCoder:
                 if is_comp:
                     IM.write_comp_refs_last_altref(enc, cdf, a_i, l_i,
                                                    counts)
-                    mvp = (tuple(int(v) for v in mv[:4])
-                           if lane == 2 else (0, 0, 0, 0))
+                    mvp = tuple(int(v) for v in mv[:4])
                     res = find_mv_stack(
                         grid, mi_r, mi_c, bw4, bw4,
                         ref_frame=(MV.LAST_FRAME, MV.ALTREF_FRAME),
@@ -303,8 +306,7 @@ class TileCoder:
                     mode = cmode
                 else:
                     IM.write_ref_frame_last(enc, cdf, counts)
-                    mvv = ((int(mv[0]), int(mv[1]))
-                           if lane == 0 else (0, 0))
+                    mvv = (int(mv[0]), int(mv[1]))
                     res = find_mv_stack(grid, mi_r, mi_c, bw4, bw4,
                                         mi_col_off=self.mi_col_off,
                                         frame_mi_cols=self.frame_mi_cols)
@@ -323,7 +325,7 @@ class TileCoder:
                 IM._sym(enc, cdf, cdf.y_mode_cdf[SIZE_GROUP[bs]], mode, 13)
                 if M.is_directional(mode):
                     M.write_angle_delta(enc, cdf, mode, delta)
-                M.write_uv_mode(enc, cdf, True, mode, 0)
+                M.write_uv_mode(enc, cdf, bs <= 32, mode, 0)
                 grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, mode)
 
         self._code_residuals(mi_r, mi_c, bs, skip, is_inter, y_mode,
