@@ -182,7 +182,7 @@ class VideoEncoder:
     # per-layer RD lambda multipliers: interior layers price rate harder
     # (pushes top-layer frames toward skip/cheap modes without raising
     # their quantizer — the reference's layer lambda weighting)
-    LAYER_LAM = (1.0, 1.0, 1.0, 1.0, 1.0)
+    LAYER_LAM = (1.0, 1.0, 1.15, 1.3, 1.45)
 
     def _layer_lam(self, layer: int) -> float:
         return self.LAYER_LAM[min(layer, len(self.LAYER_LAM) - 1)]
@@ -194,9 +194,41 @@ class VideoEncoder:
     def _layer_q(self, layer: int) -> int:
         """Per-layer qindex scaling (the reference's hierarchical-layer
         q offsets, EbRateControlProcess.c CRF qindex per temporal
-        layer): anchors below base q, top layers above."""
-        mult = (0.85, 0.95, 1.0, 1.06, 1.12)[min(layer, 4)]
+        layer): anchors below base q, top layers above.  The layer-0
+        multiplier is modulated per GoP by the TPL-lite propagation
+        measure (_tpl_boost): anchors in well-predicted content get a
+        deeper quality boost because their bits propagate
+        (EbSourceBasedOperationsProcess.c tpl_mc_flow r0 boost)."""
+        if layer == 0:
+            mult = self._anchor_mult
+        else:
+            mult = (0.85, 0.96, 1.04, 1.10, 1.16)[min(layer, 4)]
         return max(1, min(255, int(round(self._base_q() * mult))))
+
+    _anchor_mult = 0.85                # updated per GoP by _tpl_boost
+
+    def _tpl_boost(self, gframes):
+        """TPL-lite (frame level): measure how well the GoP's interior
+        frames are predicted from its anchor (decimated SAD vs a local
+        activity proxy) and deepen the anchor q boost accordingly —
+        the frame-level effect of the reference's mb_tree-style TPL
+        backprop (Docs/Appendix-TPL.md) without the per-SB pass."""
+        if len(gframes) < 2:
+            self._anchor_mult = 0.85
+            return
+        anchor = np.asarray(gframes[-1][0], np.int32)[::4, ::4]
+        # spatial activity: mean abs horizontal+vertical gradient
+        act = (np.abs(np.diff(anchor, axis=0)).mean() +
+               np.abs(np.diff(anchor, axis=1)).mean()) + 1e-3
+        pq = 0.0
+        for f in gframes[:-1]:
+            d = np.abs(np.asarray(f[0], np.int32)[::4, ::4] -
+                       anchor).mean()
+            pq += max(0.0, 1.0 - d / (4.0 * act))
+        pq /= (len(gframes) - 1)
+        # pq ~1: static/well-predicted → anchor bits propagate far;
+        # pq ~0: chaotic → no propagation, keep anchors near base q
+        self._anchor_mult = float(np.clip(0.92 - 0.18 * pq, 0.72, 0.92))
 
     def _pick_ref(self, y, cand_slots):
         """Choose the reference slot with the lowest decimated-luma SAD
@@ -281,6 +313,7 @@ class VideoEncoder:
         display order (reference: overlay pictures + prediction
         structure, EbPictureDecisionProcess.c)."""
         G = len(gframes)
+        self._tpl_boost(gframes)
         t0 = self._idx - 1            # display time of the lo anchor
         lo = self._anchor_slot
         hi = 1 - lo if lo in (0, 1) else 0
@@ -353,6 +386,26 @@ class VideoEncoder:
         self._dpb = tuple(np.asarray(p) for p in rec)
         self._idx += 1
         return payload, rec
+
+    def _dlf_levels(self, q, y_rec, part_f, part_sb_f, src_y, bd):
+        """Frame-level DLF level RDO (EbDeblockingFilter.c search): pick
+        the luma level by SSE-vs-source sweep around the qindex
+        heuristic; chroma follows at 3/4 (explicit cfg.lf_level still
+        overrides)."""
+        if self.cfg.lf_level >= 0:
+            return self._p_lf_levels(q)
+        from ..ops.deblock import dlf_sse_part
+        base = self._p_lf_levels(q)[0]
+        cand = [0, max(1, base // 2), max(1, base * 3 // 4),
+                max(1, base), base * 5 // 4 + 1, base * 3 // 2 + 1]
+        cand = [min(63, c) for c in cand]
+        sse = np.asarray(dlf_sse_part(
+            y_rec, jnp.asarray(src_y)[None].astype(jnp.int32), part_f,
+            jnp.asarray(cand, jnp.int32), BLK, 14, bd=bd,
+            part_sb=part_sb_f))
+        l = int(cand[int(np.argmin(sse))])
+        lc = max(0, l * 3 // 4)
+        return (l, l, lc, lc)
 
     def _p_lf_levels(self, q=None):
         """Deblock levels from the P-frame qindex (the intra encoder's
@@ -536,14 +589,32 @@ class VideoEncoder:
         if comp:
             mv64b, _ = motion_estimate(yj, rj2, 64, long_range=lr2)
 
+        # neighbor-consistent MV predictions (see _mv_pred below): an
+        # extra candidate lane at the predicted MV usually entropy-codes
+        # as NEARESTMV (stack[0] match) — near-free rate
+        def _mv_pred_np(field):
+            left = jnp.pad(field, ((0, 0), (0, 0), (1, 0), (0, 0)))[
+                :, :, :-1]
+            above = jnp.pad(field, ((0, 0), (1, 0), (0, 0), (0, 0)))[
+                :, :-1]
+            stacked = jnp.stack([left, above, jnp.zeros_like(field)], 0)
+            return jnp.median(stacked, axis=0).astype(field.dtype)
+
+        mvp32 = _mv_pred_np(mv32)
+        mvp64 = _mv_pred_np(mv64)
+        mvp16z = jnp.repeat(mvp32[:, :, :, None], 4, axis=3)
+
         y0 = (jnp.arange(N) // bw * BLK)[None]
         x0 = (jnp.arange(N) % bw * BLK)[None]
         mv32f = mv32.reshape(1, N, 2)
+        mvp32f = mvp32.reshape(1, N, 2)
         pred_new = predict_inter_blocks(ryp, y0, x0, mv32f, h, w, BLK, 0,
                                         bd)
         pred_zero = predict_inter_blocks(ryp, y0, x0, jnp.zeros_like(mv32f),
                                          h, w, BLK, 0, bd)
-        top_lanes = [pred_new, pred_zero]
+        pred_mvp = predict_inter_blocks(ryp, y0, x0, mvp32f, h, w, BLK, 0,
+                                        bd)
+        top_lanes = [pred_new, pred_zero, pred_mvp]
         if comp:
             from ..ops.mc import predict_inter_blocks_compound
             mv32bf = mv32b.reshape(1, N, 2)
@@ -574,7 +645,10 @@ class VideoEncoder:
         p16_zero = predict_inter_blocks(ryp, sy0[None], sx0[None],
                                         jnp.zeros_like(mvsf), h, w, 16, 0,
                                         bd)
-        sub_lanes = [p16_new, p16_zero]
+        mvp16f = mvp16z.reshape(1, N * 4, 2)
+        p16_mvp = predict_inter_blocks(ryp, sy0[None], sx0[None], mvp16f,
+                                       h, w, 16, 0, bd)
+        sub_lanes = [p16_new, p16_zero, p16_mvp]
         if comp:
             mv16zb = mv16b.reshape(1, bh, 2, bw, 2, 2).transpose(
                 0, 1, 3, 2, 4, 5).reshape(1, bh, bw, 4, 2)
@@ -598,7 +672,10 @@ class VideoEncoder:
         p64_zero = predict_inter_blocks(ryp, y0s, x0s,
                                         jnp.zeros_like(mv64f), h, w, 64,
                                         0, bd)
-        sb_lanes = [p64_new, p64_zero]
+        mvp64f = mvp64.reshape(1, Nsb, 2)
+        p64_mvp = predict_inter_blocks(ryp, y0s, x0s, mvp64f, h, w, 64, 0,
+                                       bd)
+        sb_lanes = [p64_new, p64_zero, p64_mvp]
         if comp:
             from ..ops.mc import predict_inter_blocks_compound
             mv64bf = mv64b.reshape(1, Nsb, 2)
@@ -611,27 +688,44 @@ class VideoEncoder:
         extra_sb = jnp.stack(sb_lanes, 1).reshape(
             1, n_lanes, sh, sw, 64, 64)
 
-        def _mv_rate(m):
-            a = jnp.abs(m.astype(jnp.float32))
-            return 2.5 * (jnp.log2(1.0 + a[..., 0]) +
-                          jnp.log2(1.0 + a[..., 1]))
+        def _mv_bits(m, pred):
+            """NEWMV residual bits vs the predicted MV: per-component
+            sign+class+offset shape of the spec MV coder (ec/inter_modes
+            write_mv), ~4 + 1.4*log2|d| bits per nonzero component."""
+            d = jnp.abs((m - pred).astype(jnp.float32))
+            cb = lambda a: jnp.where(a > 0, 4.0 + 1.4 * jnp.log2(1.0 + a),
+                                     0.7)
+            return cb(d[..., 0]) + cb(d[..., 1])
 
-        r_new = 14.0 + _mv_rate(mv32)
-        r_zero = jnp.full((1, bh, bw), 6.0, jnp.float32)
-        rates_top = [r_new, r_zero]
-        amv16 = jnp.abs(mv16z.astype(jnp.float32))
-        rs_new = 14.0 + _mv_rate(mv16z)
-        rs_zero = jnp.full((1, bh, bw, 4), 6.0, jnp.float32)
-        rates_sub = [rs_new, rs_zero]
-        rates_sb = [14.0 + _mv_rate(mv64),
-                    jnp.full((1, sh, sw), 6.0, jnp.float32)]
+        MODE_NEW = 5.0      # NEWMV mode + DRL signaling bits
+        MODE_NEAR = 3.0     # NEAREST/GLOBAL-class signaling
+        r_new = MODE_NEW + _mv_bits(mv32, mvp32)
+        r_zero = jnp.full((1, bh, bw), MODE_NEAR + 1.0, jnp.float32)
+        r_mvp = jnp.full((1, bh, bw), MODE_NEAR + 1.4, jnp.float32)
+        rates_top = [r_new, r_zero, r_mvp]
+        rs_new = MODE_NEW + _mv_bits(mv16z, mvp16z)
+        rs_zero = jnp.full((1, bh, bw, 4), MODE_NEAR + 1.0, jnp.float32)
+        rs_mvp = jnp.full((1, bh, bw, 4), MODE_NEAR + 1.4, jnp.float32)
+        rates_sub = [rs_new, rs_zero, rs_mvp]
+        rates_sb = [MODE_NEW + _mv_bits(mv64, mvp64),
+                    jnp.full((1, sh, sw), MODE_NEAR + 1.0, jnp.float32),
+                    jnp.full((1, sh, sw), MODE_NEAR + 1.4, jnp.float32)]
         if comp:
-            rates_top += [22.0 + _mv_rate(mv32) + _mv_rate(mv32b),
-                          jnp.full((1, bh, bw), 9.0, jnp.float32)]
-            rates_sub += [22.0 + _mv_rate(mv16z) + _mv_rate(mv16zb),
-                          jnp.full((1, bh, bw, 4), 9.0, jnp.float32)]
-            rates_sb += [22.0 + _mv_rate(mv64) + _mv_rate(mv64b),
-                         jnp.full((1, sh, sw), 9.0, jnp.float32)]
+            mvp32b = _mv_pred_np(mv32b)
+            mvp64b = _mv_pred_np(mv64b)
+            mvp16zb = jnp.repeat(mvp32b[:, :, :, None], 4, axis=3)
+            rates_top += [2 * MODE_NEW + _mv_bits(mv32, mvp32) +
+                          _mv_bits(mv32b, mvp32b),
+                          jnp.full((1, bh, bw), MODE_NEAR + 2.0,
+                                   jnp.float32)]
+            rates_sub += [2 * MODE_NEW + _mv_bits(mv16z, mvp16z) +
+                          _mv_bits(mv16zb, mvp16zb),
+                          jnp.full((1, bh, bw, 4), MODE_NEAR + 2.0,
+                                   jnp.float32)]
+            rates_sb += [2 * MODE_NEW + _mv_bits(mv64, mvp64) +
+                         _mv_bits(mv64b, mvp64b),
+                         jnp.full((1, sh, sw), MODE_NEAR + 2.0,
+                                  jnp.float32)]
         rate_top = jnp.stack(rates_top, 1)
         rate_sub = jnp.stack(rates_sub, 1)
         rate_sbl = jnp.stack(rates_sb, 1)
@@ -691,32 +785,38 @@ class VideoEncoder:
         top_inter = y_mi >= n_i_top
         sub_inter = y_smi >= n_i_sub
         sb_inter = y_mi_sb >= n_i_top        # SB lanes share the top space
+        # lane layout: 0=NEW(mv), 1=zero(GLOBAL), 2=predicted-MV
+        # (NEAREST proxy); compound adds 3=NEW_NEW, 4=GLOBAL_GLOBAL
+        mvp32_t = tstack(mvp32, 2)
+        mvp16z_t = tstack(mvp16z, 2)
+        mvp64_t = tstack(mvp64, 2)
+        lane_t = y_mi - n_i_top          # <0 intra
+        lane_s = y_smi - n_i_sub
+        lane_b = y_mi_sb - n_i_top
+
+        def _first_mv(lane, new, pred):
+            return jnp.where((lane == 0)[..., None], new,
+                             jnp.where((lane == 2)[..., None], pred,
+                                       jnp.where((lane == 3)[..., None],
+                                                 new, 0)))
+
         if comp:
             mv32b_t = tstack(mv32b, 2)
             mv16zb_t = tstack(mv16zb, 2)
             mv64b_t = tstack(mv64b, 2)
-            lane_t = y_mi - n_i_top          # <0 intra
-            lane_s = y_smi - n_i_sub
-            lane_b = y_mi_sb - n_i_top
             mv_top_f = jnp.concatenate([
-                jnp.where((lane_t == 0)[..., None], mv32_t,
-                          jnp.where((lane_t == 2)[..., None], mv32_t, 0)),
-                jnp.where((lane_t == 2)[..., None], mv32b_t, 0)], -1)
+                _first_mv(lane_t, mv32_t, mvp32_t),
+                jnp.where((lane_t == 3)[..., None], mv32b_t, 0)], -1)
             mv_sub_f = jnp.concatenate([
-                jnp.where((lane_s == 0)[..., None], mv16z_t,
-                          jnp.where((lane_s == 2)[..., None], mv16z_t,
-                                    0)),
-                jnp.where((lane_s == 2)[..., None], mv16zb_t, 0)], -1)
+                _first_mv(lane_s, mv16z_t, mvp16z_t),
+                jnp.where((lane_s == 3)[..., None], mv16zb_t, 0)], -1)
             mv_sb_f = jnp.concatenate([
-                jnp.where((lane_b == 0)[..., None], mv64_t,
-                          jnp.where((lane_b == 2)[..., None], mv64_t, 0)),
-                jnp.where((lane_b == 2)[..., None], mv64b_t, 0)], -1)
+                _first_mv(lane_b, mv64_t, mvp64_t),
+                jnp.where((lane_b == 3)[..., None], mv64b_t, 0)], -1)
         else:
-            mv_top_f = jnp.where((y_mi == n_i_top)[..., None], mv32_t, 0)
-            mv_sub_f = jnp.where((y_smi == n_i_sub)[..., None], mv16z_t,
-                                 0)
-            mv_sb_f = jnp.where((y_mi_sb == n_i_top)[..., None], mv64_t,
-                                0)
+            mv_top_f = _first_mv(lane_t, mv32_t, mvp32_t)
+            mv_sub_f = _first_mv(lane_s, mv16z_t, mvp16z_t)
+            mv_sb_f = _first_mv(lane_b, mv64_t, mvp64_t)
 
         # chroma: top 16x16 (part NONE) or 8x8 subs (SPLIT), mv from luma
         y0c, x0c = y0 // 2, x0 // 2
@@ -749,7 +849,7 @@ class VideoEncoder:
             lane_tf = tunstack(lane_t, 2).reshape(1, N)
             lane_sf = tunstack(lane_s, 2).reshape(1, N * 4)
             lane_bf = tunstack(lane_b, 2).reshape(1, Nsb)
-            cb = (lane_bf >= 2)
+            cb = (lane_bf >= 3)
             puc_sb = predict_inter_blocks_compound(
                 rup, r2up, y0s // 2, x0s // 2, mv_sb_cf[..., :2],
                 mv_sb_cf[..., 2:], h, w, 32, 1, bd)
@@ -758,8 +858,8 @@ class VideoEncoder:
                 mv_sb_cf[..., 2:], h, w, 32, 1, bd)
             pu_sb = jnp.where(cb[..., None, None], puc_sb, pu_sb)
             pv_sb = jnp.where(cb[..., None, None], pvc_sb, pv_sb)
-            ct = (lane_tf >= 2)
-            cs = (lane_sf >= 2)
+            ct = (lane_tf >= 3)
+            cs = (lane_sf >= 3)
             puc_t = predict_inter_blocks_compound(
                 rup, r2up, y0c, x0c, mv_top_cf[..., :2],
                 mv_top_cf[..., 2:], h, w, CBLK, 1, bd)
@@ -807,7 +907,7 @@ class VideoEncoder:
         y_rec = tunstack(y_rec, 2)
         u_rec = tunstack(u_rec, 2)
         v_rec = tunstack(v_rec, 2)
-        lf = self._p_lf_levels(q)
+        lf = self._dlf_levels(q, y_rec, part_f, part_sb_f, y, bd)
         if lf[0] or lf[1]:
             from ..ops.deblock import deblock_plane_part
             y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0],

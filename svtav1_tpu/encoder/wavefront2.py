@@ -23,7 +23,7 @@ import numpy as np
 
 from ..ops import intra
 from ..ops.intra_dir import dr_pred
-from ..ops.quant import dequantize_dq, quantize_dq
+from ..ops.quant import dequantize_dq, quantize_dq, quantize_dq_opt
 from ..ops.transforms import add_residual_clip, fwd_txfm2d, inv_txfm2d
 from ..spec.txfm import DCT_DCT
 from ..spec import tables as tbl
@@ -218,7 +218,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
     def txq(pred, f_src, tx_size, n, tx_bits, tx_type=DCT_DCT):
         resid = f_src - pred
         coeff = fwd_txfm2d(resid, tx_size, tx_type, bd)
-        lev = quantize_dq(coeff, tx_size, dqdc, dqac, bd)
+        lev = quantize_dq_opt(coeff, tx_size, dqdc, dqac, lam, bd)
         dq = dequantize_dq(lev, tx_size, dqdc, dqac, bd)
         recb = add_residual_clip(pred, inv_txfm2d(dq, tx_size, tx_type,
                                                   bd), bd)
@@ -465,7 +465,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         if bs2 == 64:
             coeff = coeff.at[..., nC:, :].set(0)
             coeff = coeff.at[..., :, nC:].set(0)
-        lev = quantize_dq(coeff, tx_sb, dqdc, dqac, bd)
+        lev = quantize_dq_opt(coeff, tx_sb, dqdc, dqac, lam, bd)
         dq = dequantize_dq(lev, tx_sb, dqdc, dqac, bd)
         recb = add_residual_clip(pred, inv_txfm2d(dq, tx_sb, DCT_DCT, bd),
                                  bd)

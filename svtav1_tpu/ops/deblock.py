@@ -171,42 +171,58 @@ from functools import partial
 _WRITE_WIN = {4: (5, 9), 6: (5, 9), 8: (4, 10), 14: (1, 13)}
 
 
-@partial(jax.jit, static_argnames=("spacing", "filter_length", "level_v",
-                                   "level_h", "sharpness", "bd"))
+def _thresholds_t(lvl, sharpness: int = 0):
+    """thresholds() for a traced level scalar (sharpness stays static)."""
+    lvl = jnp.asarray(lvl, jnp.int32)
+    inside = lvl >> ((sharpness > 0) + (sharpness > 4))
+    if sharpness > 0:
+        inside = jnp.minimum(inside, 9 - sharpness)
+    inside = jnp.maximum(1, inside)
+    return 2 * (lvl + 2) + inside, inside, lvl >> 4
+
+
+@partial(jax.jit, static_argnames=("spacing", "filter_length",
+                                   "sharpness", "bd"))
 def deblock_plane_uniform(plane, spacing: int, filter_length: int,
-                          level_v: int, level_h: int, sharpness: int = 0,
+                          level_v, level_h, sharpness: int = 0,
                           bd: int = 8):
     """Deblock a plane with uniform TX grid `spacing` (our fixed-block intra
-    frame): vertical-edge pass then horizontal-edge pass."""
+    frame): vertical-edge pass then horizontal-edge pass.
+
+    level_v/level_h are traced scalars (0 disables the pass via masking)
+    so per-frame filter-level changes — and the DLF level RDO search —
+    reuse one compilation."""
     h, w = plane.shape[-2], plane.shape[-1]
     x = jnp.asarray(plane).astype(jnp.int32)
+    level_v = jnp.asarray(level_v, jnp.int32)
+    level_h = jnp.asarray(level_h, jnp.int32)
 
-    if level_v > 0:
-        mblim, lim, thr = thresholds(level_v, sharpness)
-        xs = np.arange(spacing, w, spacing)
-        cols = xs[:, None] + np.arange(-7, 7)[None, :]       # [E, 14]
-        px = x[..., :, cols]                                 # [..., h, E, 14]
-        px = _filter_core(px, filter_length, mblim, lim, thr, bd)
-        lo, hi = _WRITE_WIN[filter_length]
-        x = x.at[..., :, cols[:, lo:hi]].set(px[..., lo:hi])
+    mblim, lim, thr = _thresholds_t(level_v, sharpness)
+    xs = np.arange(spacing, w, spacing)
+    cols = xs[:, None] + np.arange(-7, 7)[None, :]       # [E, 14]
+    px = x[..., :, cols]                                 # [..., h, E, 14]
+    filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
+    px = jnp.where(level_v > 0, filt, px)
+    lo, hi = _WRITE_WIN[filter_length]
+    x = x.at[..., :, cols[:, lo:hi]].set(px[..., lo:hi])
 
-    if level_h > 0:
-        mblim, lim, thr = thresholds(level_h, sharpness)
-        ys = np.arange(spacing, h, spacing)
-        rows = ys[:, None] + np.arange(-7, 7)[None, :]
-        px = jnp.swapaxes(x, -1, -2)[..., :, rows]
-        px = _filter_core(px, filter_length, mblim, lim, thr, bd)
-        lo, hi = _WRITE_WIN[filter_length]
-        x = jnp.swapaxes(
-            jnp.swapaxes(x, -1, -2).at[..., :, rows[:, lo:hi]].set(
-                px[..., lo:hi]), -1, -2)
+    mblim, lim, thr = _thresholds_t(level_h, sharpness)
+    ys = np.arange(spacing, h, spacing)
+    rows = ys[:, None] + np.arange(-7, 7)[None, :]
+    px = jnp.swapaxes(x, -1, -2)[..., :, rows]
+    filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
+    px = jnp.where(level_h > 0, filt, px)
+    lo, hi = _WRITE_WIN[filter_length]
+    x = jnp.swapaxes(
+        jnp.swapaxes(x, -1, -2).at[..., :, rows[:, lo:hi]].set(
+            px[..., lo:hi]), -1, -2)
     return x
 
 
-@partial(jax.jit, static_argnames=("spacing", "filter_length", "level_v",
-                                   "level_h", "sharpness", "bd"))
+@partial(jax.jit, static_argnames=("spacing", "filter_length",
+                                   "sharpness", "bd"))
 def deblock_plane_part(plane, part, spacing: int, filter_length: int,
-                       level_v: int, level_h: int, sharpness: int = 0,
+                       level_v, level_h, sharpness: int = 0,
                        bd: int = 8, part_sb=None):
     """Partition-aware deblock: edges on the `spacing` grid always filter;
     half-spacing edges filter only inside blocks marked split in
@@ -221,6 +237,8 @@ def deblock_plane_part(plane, part, spacing: int, filter_length: int,
     h, w = plane.shape[-2], plane.shape[-1]
     x = jnp.asarray(plane).astype(jnp.int32)
     part = jnp.asarray(part)
+    level_v = jnp.asarray(level_v, jnp.int32)
+    level_h = jnp.asarray(level_h, jnp.int32)
     hs = spacing // 2
     sp2 = spacing * 2
     ys_blk = np.arange(h) // spacing
@@ -229,42 +247,63 @@ def deblock_plane_part(plane, part, spacing: int, filter_length: int,
     on_grid = (xs_all % spacing) == 0
     xb = xs_all // spacing
 
-    if level_v > 0:
-        mblim, lim, thr = thresholds(level_v, sharpness)
-        cols = xs_all[:, None] + np.arange(-7, 7)[None, :]
-        px = x[..., :, cols]                             # [..., h, E, 14]
-        act = (part[..., ys_blk, :][..., :, xb] == 1) | \
-            jnp.asarray(on_grid)
-        if part_sb is not None:
-            psb = jnp.asarray(part_sb)
-            on_sb = (xs_all % sp2) == 0
-            sb_split = psb[..., ys_sb, :][..., :, xs_all // sp2] == 1
-            act = jnp.asarray(on_sb) | (act & sb_split)
-        filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
-        px = jnp.where(act[..., None], filt, px)
-        lo, hi = _WRITE_WIN[filter_length]
-        x = x.at[..., :, cols[:, lo:hi]].set(px[..., lo:hi])
+    mblim, lim, thr = _thresholds_t(level_v, sharpness)
+    cols = xs_all[:, None] + np.arange(-7, 7)[None, :]
+    px = x[..., :, cols]                             # [..., h, E, 14]
+    act = (part[..., ys_blk, :][..., :, xb] == 1) | \
+        jnp.asarray(on_grid)
+    if part_sb is not None:
+        psb = jnp.asarray(part_sb)
+        on_sb = (xs_all % sp2) == 0
+        sb_split = psb[..., ys_sb, :][..., :, xs_all // sp2] == 1
+        act = jnp.asarray(on_sb) | (act & sb_split)
+    act = act & (level_v > 0)
+    filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
+    px = jnp.where(act[..., None], filt, px)
+    lo, hi = _WRITE_WIN[filter_length]
+    x = x.at[..., :, cols[:, lo:hi]].set(px[..., lo:hi])
 
-    if level_h > 0:
-        mblim, lim, thr = thresholds(level_h, sharpness)
-        ys_all = np.arange(hs, h, hs)
-        on_grid_h = (ys_all % spacing) == 0
-        yb = ys_all // spacing
-        xs_blk = np.arange(w) // spacing
-        rows = ys_all[:, None] + np.arange(-7, 7)[None, :]
-        xt = jnp.swapaxes(x, -1, -2)                     # [..., w, h]
-        px = xt[..., :, rows]                            # [..., w, E, 14]
-        act = (jnp.swapaxes(part, -1, -2)[..., xs_blk, :][..., :, yb]
-               == 1) | jnp.asarray(on_grid_h)
-        if part_sb is not None:
-            psb = jnp.asarray(part_sb)
-            on_sb_h = (ys_all % sp2) == 0
-            sb_split_h = jnp.swapaxes(psb, -1, -2)[
-                ..., np.arange(w) // sp2, :][..., :, ys_all // sp2] == 1
-            act = jnp.asarray(on_sb_h) | (act & sb_split_h)
-        filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
-        px = jnp.where(act[..., None], filt, px)
-        lo, hi = _WRITE_WIN[filter_length]
-        x = jnp.swapaxes(xt.at[..., :, rows[:, lo:hi]].set(px[..., lo:hi]),
-                         -1, -2)
+    mblim, lim, thr = _thresholds_t(level_h, sharpness)
+    ys_all = np.arange(hs, h, hs)
+    on_grid_h = (ys_all % spacing) == 0
+    yb = ys_all // spacing
+    xs_blk = np.arange(w) // spacing
+    rows = ys_all[:, None] + np.arange(-7, 7)[None, :]
+    xt = jnp.swapaxes(x, -1, -2)                     # [..., w, h]
+    px = xt[..., :, rows]                            # [..., w, E, 14]
+    act = (jnp.swapaxes(part, -1, -2)[..., xs_blk, :][..., :, yb]
+           == 1) | jnp.asarray(on_grid_h)
+    if part_sb is not None:
+        psb = jnp.asarray(part_sb)
+        on_sb_h = (ys_all % sp2) == 0
+        sb_split_h = jnp.swapaxes(psb, -1, -2)[
+            ..., np.arange(w) // sp2, :][..., :, ys_all // sp2] == 1
+        act = jnp.asarray(on_sb_h) | (act & sb_split_h)
+    act = act & (level_h > 0)
+    filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
+    px = jnp.where(act[..., None], filt, px)
+    lo, hi = _WRITE_WIN[filter_length]
+    x = jnp.swapaxes(xt.at[..., :, rows[:, lo:hi]].set(px[..., lo:hi]),
+                     -1, -2)
     return x
+
+
+@partial(jax.jit, static_argnames=("spacing", "filter_length",
+                                   "sharpness", "bd"))
+def dlf_sse_part(plane, src, part, levels, spacing: int,
+                 filter_length: int, sharpness: int = 0, bd: int = 8,
+                 part_sb=None):
+    """Frame-level DLF level search (reference: EbDeblockingFilter.c
+    filter-level RDO): deblock `plane` at each candidate level in
+    `levels` [nlev] (applied to both edge directions) and return the
+    SSE vs `src` per candidate [nlev].  One compilation serves every
+    frame/qindex — levels are traced."""
+    src = jnp.asarray(src).astype(jnp.int32)
+    sses = []
+    for i in range(levels.shape[0]):
+        out = deblock_plane_part(plane, part, spacing, filter_length,
+                                 levels[i], levels[i], sharpness, bd,
+                                 part_sb)
+        d = (out - src).astype(jnp.float32)
+        sses.append(jnp.sum(d * d))
+    return jnp.stack(sses)

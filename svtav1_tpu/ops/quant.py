@@ -83,3 +83,60 @@ def quantize_batch(coeffs, n: int, qindex: int, bd: int = 8):
 def dequantize_batch(levels, n: int, qindex: int, bd: int = 8):
     sq = {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}[n]
     return dequantize(levels, sq, qindex, bd)
+
+
+# ---- coefficient optimization (encoder-side, non-normative) ----------- #
+
+@partial(jax.jit, static_argnames=("tx_size", "bd"))
+def _txg_probe(tx_size: int, bd: int):
+    """Pixel-SSE per unit coefficient-SSE for a tx size (the integer
+    transforms are not orthonormal; this gain converts coefficient-domain
+    error to pixel-domain SSE for RD decisions)."""
+    from .transforms import inv_txfm2d
+    from ..spec.txfm import DCT_DCT
+    h, w = tbl.TX_H[tx_size], tbl.TX_W[tx_size]
+    c = jnp.zeros((1, h, w), jnp.int32).at[0, h // 4, w // 4].set(1024)
+    r = inv_txfm2d(c, tx_size, DCT_DCT, bd)
+    return jnp.sum(r.astype(jnp.float32) ** 2) / (1024.0 * 1024.0)
+
+
+_TXG_CACHE = {}
+
+
+def tx_gain(tx_size: int, bd: int = 8) -> float:
+    if (tx_size, bd) not in _TXG_CACHE:
+        # may be called while tracing an enclosing jit (tx_size is
+        # static there) — force eager evaluation of the probe
+        with jax.ensure_compile_time_eval():
+            _TXG_CACHE[(tx_size, bd)] = float(_txg_probe(tx_size, bd))
+    return _TXG_CACHE[(tx_size, bd)]
+
+
+def quantize_dq_opt(coeffs, tx_size: int, dc, ac, lam, bd: int = 8):
+    """Deadzone quantization + one-step coefficient optimization: each
+    level considers stepping down by 1 (including to zero) when the
+    distortion increase is cheaper than the estimated rate saving — the
+    vectorized one-pass analogue of the reference's coefficient
+    optimization (EbFullLoop.c:1462 svt_aom_quantize_inv_quantize RDOQ
+    path).  lam = pixel-domain RD lambda (traced); the coefficient → pixel
+    error conversion uses the tx gain probe (tx_gain)."""
+    shift = tbl.tx_scale_shift(tx_size)
+    g = tx_gain(tx_size, bd)           # pixel SSE per unit coeff SSE
+    h, w = coeffs.shape[-2], coeffs.shape[-1]
+    dqv = _dqv_traced(dc, ac, h, w)
+    scaled = jnp.abs(coeffs).astype(jnp.int32) << shift
+    rounding = (dqv * 48) >> 7
+    l0 = jnp.minimum((scaled + rounding) // dqv, (1 << 15) - 1)
+    # scaled-domain reconstruction errors at l0 and l0-1
+    e0 = (scaled - l0 * dqv).astype(jnp.float32)
+    e1 = e0 + dqv.astype(jnp.float32)
+    # pixel-domain distortion increase of stepping the level down
+    dd = (e1 * e1 - e0 * e0) * (g / float(4 ** shift))
+    l0f = jnp.maximum(l0, 1).astype(jnp.float32)
+    # marginal rate of the current level (calibrated _resid_bits shape):
+    # a vanishing coefficient also saves its nnz term
+    dr = jnp.where(l0 == 1, 2.43 + 1.83,
+                   1.83 * (jnp.log2(1.0 + l0f) - jnp.log2(l0f)))
+    down = (l0 > 0) & (dd < lam * dr)
+    lev = l0 - down.astype(jnp.int32)
+    return jnp.sign(coeffs) * lev
