@@ -12,6 +12,8 @@ import pytest
 
 from test_e2e_inter import _moving_clip
 
+pytestmark = pytest.mark.slow
+
 
 def _classify_ref(ext, h, w, sc, support, qstep):
     from svtav1_tpu.encoder.ccso_search import _classify

@@ -8,6 +8,9 @@ import numpy as np
 import jax.numpy as jnp
 from svtav1_tpu.ops.convolve import kernels
 from svtav1_tpu.ops.mc import (compound_average, interp_block_dyn_mid)
+import pytest
+
+pytestmark = pytest.mark.slow
 
 DATA = Path(__file__).parent / "data" / "golden_compound.npz"
 

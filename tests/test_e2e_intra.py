@@ -21,8 +21,9 @@ def _ensure_av1dec():
     return r.returncode == 0
 
 
-pytestmark = pytest.mark.skipif(not _ensure_av1dec(),
-                                reason="no libavcodec available")
+pytestmark_slow = pytest.mark.slow
+pytestmark = [pytestmark_slow, pytest.mark.skipif(not _ensure_av1dec(),
+                                reason="no libavcodec available")]
 
 
 def _synth(w, h, seed):

@@ -11,8 +11,9 @@ import pytest
 
 from test_e2e_inter import (_dav1d_frames, _ensure_av1dec, _moving_clip)
 
-pytestmark = pytest.mark.skipif(not _ensure_av1dec(),
-                                reason="no libavcodec available")
+pytestmark_slow = pytest.mark.slow
+pytestmark = [pytestmark_slow, pytest.mark.skipif(not _ensure_av1dec(),
+                                reason="no libavcodec available")]
 
 
 def _encode_pyramid(frames, w, h, q, path, keyint=64):

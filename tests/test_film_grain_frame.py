@@ -16,6 +16,8 @@ import pytest
 
 from test_e2e_inter import _ensure_av1dec, AV1DEC
 
+pytestmark = pytest.mark.slow
+
 DATA = Path(__file__).parent / "data" / "golden_fg_frame.npz"
 
 

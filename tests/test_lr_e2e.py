@@ -10,6 +10,8 @@ import pytest
 
 from test_e2e_inter import _dav1d_frames, _ensure_av1dec, _moving_clip
 
+pytestmark = pytest.mark.slow
+
 
 def test_subexp_roundtrip():
     from svtav1_tpu.ec.range_coder import RangeDecoder, RangeEncoder

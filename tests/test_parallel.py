@@ -1,4 +1,7 @@
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_sharded_pipeline_step_8dev():

@@ -49,6 +49,7 @@ def test_vbr_adapts_slower_than_cbr():
     assert cbr.base_q - 120 > vbr.base_q - 120
 
 
+@pytest.mark.slow
 def test_cbr_e2e_hits_target(tmp_path):
     """Low-delay CBR encode lands near the target bitrate."""
     from svtav1_tpu.encoder.intra_encoder import EncoderConfig
@@ -76,6 +77,7 @@ def test_cbr_e2e_hits_target(tmp_path):
     assert 0.5 * target < got < 1.8 * target, got
 
 
+@pytest.mark.slow
 def test_scene_cut_inserts_keyframe(tmp_path):
     """A hard scene change mid-stream must start a new key frame
     (picture decision scene_transition_detector analogue), in both

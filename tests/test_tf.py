@@ -11,6 +11,8 @@ import pytest
 
 from test_e2e_inter import _dav1d_frames, _ensure_av1dec
 
+pytestmark = pytest.mark.slow
+
 
 def _noisy_clip(w, h, n, amp=8, seed=3):
     rng = np.random.RandomState(seed)
