@@ -138,6 +138,11 @@ static void enc_symbol(RangeEnc *e, int s, uint16_t *icdf, int nsyms) {
     if (g_update) update_cdf(icdf, s, nsyms);
 }
 
+static void enc_symbol_noupd(RangeEnc *e, int s, const uint16_t *icdf,
+                             int nsyms) {
+    enc_q15(e, s > 0 ? icdf[s - 1] : CDF_PROB_TOP, icdf[s], s, nsyms);
+}
+
 static size_t enc_done(RangeEnc *e, uint8_t *dst, size_t dst_cap) {
     uint32_t l = e->low;
     int c = e->cnt;
@@ -373,17 +378,39 @@ static int write_coeffs(RangeEnc *e, Tables *t, const int32_t *lv, int n,
 static const int INTRA_MODE_CONTEXT[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3,
                                            0, 1, 2, 0};
 
-/* Returns tile size, writes into dst. */
+/* split_or_horz bool for blocks crossing the frame bottom (spec §5.11.4;
+ * partition_gather_vert_alike, EbCabacContextModel.h:735): P(SPLIT) is
+ * gathered from the partition CDF, no adaptation. */
+static void enc_partition_edge_split(RangeEnc *e, const uint16_t *icdf,
+                                     int nsyms) {
+    static const int elems[6] = {2 /*VERT*/, 3 /*SPLIT*/, 4 /*HORZ_A*/,
+                                 6 /*VERT_A*/, 7 /*VERT_B*/, 9 /*VERT_4*/};
+    unsigned psum = 0;
+    for (int i = 0; i < 6; i++) {
+        int s = elems[i];
+        if (s >= nsyms) continue;
+        unsigned hi = s == 0 ? CDF_PROB_TOP : icdf[s - 1];
+        unsigned lo = s < nsyms - 1 ? icdf[s] : 0;
+        psum += hi - lo;
+    }
+    uint16_t scratch[3] = {(uint16_t)psum, 0, 0};
+    enc_symbol_noupd(e, 1 /*split*/, scratch, 2);
+}
+
+/* Returns tile size, writes into dst.
+ * true_h: signaled frame height (<= height, the SB-padded plane height);
+ * bottom-row geometry follows encoder/geometry.py FLAT_OK_M. */
 long encode_tile_intra(
     uint8_t *dst, long dst_cap, int width, int height, int update_cdf,
     const int32_t *y_modes,  /* [bh][bw] */
     const int32_t *y_lev,    /* [bh][bw][32][32] */
     const int32_t *u_lev,    /* [ch][cw][16][16] */
     const int32_t *v_lev,
-    Tables *t) {
+    Tables *t, int true_h) {
     g_update = update_cdf;
+    if (true_h <= 0) true_h = height;
     int mi_cols = width / 4;
-    int mi_rows = height / 4;
+    int mi_rows = true_h / 4;
     int sb_cols = width / 64;
     int sb_rows = height / 64;
     int bw = width / 32;
@@ -411,19 +438,26 @@ long encode_tile_intra(
         memset(left_av, 0, sizeof(left_av));
         for (int sb_c = 0; sb_c < sb_cols; sb_c++) {
             int mi_c0 = sb_c * 16;
-            /* partition SPLIT at 64 */
+            /* partition SPLIT at 64 (split_or_horz bool when the SB
+             * crosses the true frame bottom) */
             {
                 int bsl = 3;
                 int a = (above_part[mi_c0] >> bsl) & 1;
                 int l = (left_part[0] >> bsl) & 1;
                 int ctx = (l * 2 + a) + bsl * 4;
-                enc_symbol(&e, 3 /*SPLIT*/, t->partition + ctx * 11, 10);
+                if (sb_r * 16 + 8 < mi_rows)
+                    enc_symbol(&e, 3 /*SPLIT*/, t->partition + ctx * 11, 10);
+                else
+                    enc_partition_edge_split(&e, t->partition + ctx * 11,
+                                             10);
             }
             static const int qoff[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
             for (int q = 0; q < 4; q++) {
                 int qr = qoff[q][0], qc = qoff[q][1];
                 int br = sb_r * 2 + qr, bc = sb_c * 2 + qc;
                 int mi_r = br * 8, mi_c = bc * 8;
+                if (mi_r >= mi_rows)
+                    continue;   /* quad below the frame bottom */
                 /* partition NONE at 32 */
                 {
                     int bsl = 2;
@@ -471,6 +505,15 @@ long encode_tile_intra(
                         int n = plane == 0 ? 32 : 16;
                         int shift = plane == 0 ? 0 : 1;
                         int units = (32 >> shift) / 4;
+                        /* frame-bottom overhang: contexts read over
+                         * in-frame units only; beyond-edge left entries
+                         * reset to 0 after coding (EbDecParseBlock.c
+                         * :2117-2133, update_coeff_ctx :1644-1654) */
+                        int row_px = (mi_r * 4) >> shift;
+                        int valid_px = (mi_rows * 4) >> shift;
+                        int units_v = (valid_px - row_px) / 4;
+                        if (units_v > units) units_v = units;
+                        if (units_v < 0) units_v = 0;
                         int au0 = ((bc * 32) >> shift) / 4;
                         int lu0 = (((br * 32) >> shift) / 4) % (16 >> shift);
                         int ptype = plane == 0 ? 0 : 1;
@@ -479,28 +522,28 @@ long encode_tile_intra(
                             tctx = 0;
                         } else {
                             int a_nz = 0, l_nz = 0;
-                            for (int k = 0; k < units; k++) {
+                            for (int k = 0; k < units; k++)
                                 if (above_av[plane][au0 + k] &&
                                     (above_cul[plane][au0 + k] & 0x3F))
                                     a_nz = 1;
+                            for (int k = 0; k < units_v; k++)
                                 if (left_av[plane][lu0 + k] &&
                                     (left_cul[plane][lu0 + k] & 0x3F))
                                     l_nz = 1;
-                            }
                             tctx = 7 + a_nz + l_nz;
                         }
                         {
                             int signs = 0;
-                            for (int k = 0; k < units; k++) {
+                            for (int k = 0; k < units; k++)
                                 if (above_av[plane][au0 + k]) {
                                     int s = above_cul[plane][au0 + k] >> 6;
                                     signs += s == 2 ? 1 : (s == 1 ? -1 : 0);
                                 }
+                            for (int k = 0; k < units_v; k++)
                                 if (left_av[plane][lu0 + k]) {
                                     int s = left_cul[plane][lu0 + k] >> 6;
                                     signs += s == 2 ? 1 : (s == 1 ? -1 : 0);
                                 }
-                            }
                             dctx = signs > 0 ? 2 : (signs < 0 ? 1 : 0);
                         }
                         int cul = write_coeffs(&e, t, lv, n, plane == 0,
@@ -508,7 +551,7 @@ long encode_tile_intra(
                         for (int k = 0; k < units; k++) {
                             above_cul[plane][au0 + k] = cul;
                             above_av[plane][au0 + k] = 1;
-                            left_cul[plane][lu0 + k] = cul;
+                            left_cul[plane][lu0 + k] = k < units_v ? cul : 0;
                             left_av[plane][lu0 + k] = 1;
                         }
                     }
@@ -527,7 +570,8 @@ long encode_tile_intra(
                     }
                 }
 
-                for (int i = 0; i < 8; i++) {
+                int rows8 = mi_rows - mi_r < 8 ? mi_rows - mi_r : 8;
+                for (int i = 0; i < rows8; i++) {
                     for (int j = 0; j < 8; j++) {
                         skip_grid[(mi_r + i) * mi_cols + mi_c + j] = skip;
                         mode_grid[(mi_r + i) * mi_cols + mi_c + j] = y_mode;

@@ -445,18 +445,23 @@ class Decoder:
                 ref2 = self.dpb[fr.ref_frame_idx[6]]   # ALTREF slot
                 _need(ref2 is not None, "missing ALTREF reference")
                 self._refp2 = tuple(pad_plane_np(p) for p in ref2)
-        self._part_map = np.zeros((h // 32, w // 32), np.int32)
-        self._part_sb_map = np.ones((h // 64, w // 64), np.int32)
-        self._y = np.zeros((h, w), np.int32)
-        self._u = np.zeros((h // 2, w // 2), np.int32)
-        self._v = np.zeros((h // 2, w // 2), np.int32)
-        self._cdef_idx = np.zeros((h // 64, w // 64), np.int32)
-        self._cdef_read = np.zeros((h // 64, w // 64), bool)
+        # recon buffers and maps are SB-padded: bottom-row blocks may
+        # legally overhang the true frame bottom (spec §5.11.4 hasRows);
+        # output is cropped to the signaled size after the loop filters
+        ph = -(-h // 64) * 64
+        self._ph = ph
+        self._part_map = np.zeros((ph // 32, w // 32), np.int32)
+        self._part_sb_map = np.ones((ph // 64, w // 64), np.int32)
+        self._y = np.zeros((ph, w), np.int32)
+        self._u = np.zeros((ph // 2, w // 2), np.int32)
+        self._v = np.zeros((ph // 2, w // 2), np.int32)
+        self._cdef_idx = np.zeros((ph // 64, w // 64), np.int32)
+        self._cdef_read = np.zeros((ph // 64, w // 64), bool)
         # CCSO per-plane 256x256-luma-unit on/off flags (fork graft)
         self._ccso_flags = np.zeros((3, -(-h // 256), -(-w // 256)),
                                     np.int32)
-        self._skip8 = np.ones((h // 8, w // 8), bool)
-        sbh, sbw = h // 64, w // 64
+        self._skip8 = np.ones((ph // 8, w // 8), bool)
+        sbh, sbw = ph // 64, w // 64
         self._lr_units = [
             {"type": np.zeros((sbh, sbw), np.int32),
              "eps": np.zeros((sbh, sbw), np.int32),
@@ -487,9 +492,11 @@ class Decoder:
 
     def _decode_one_tile(self, data: bytes, seq: SeqInfo, fr: FrameInfo,
                          is_inter_frame: bool, x_off: int, tw: int):
-        from ..ec.modes import PARTITION_NONE, PARTITION_SPLIT
+        from ..ec.modes import (PARTITION_NONE, PARTITION_SPLIT,
+                                read_partition_edge)
 
         w, h = seq.width, seq.height
+        mi_rows = h // 4
         dec = RangeDecoder(data)
         if fr.primary_ref_frame != 7 and is_inter_frame:
             prev = self.dpb_cdf[fr.ref_frame_idx[fr.primary_ref_frame]]
@@ -504,7 +511,7 @@ class Decoder:
         from ..ec import lr_syntax as LRS
         lr_ref = [LRS.default_ref_state() for _ in range(3)]
 
-        for sb_r in range(h // 64):
+        for sb_r in range(self._ph // 64):
             st.reset_sb_row()
             for sb_c in range(tw // 64):
                 if any(t for t in fr.lr_frame_types):
@@ -522,9 +529,14 @@ class Decoder:
                 mi_c0 = sb_c * 16
                 ctx = self._part_ctx(st.above_part[mi_c0], st.left_part[0],
                                      3)
-                t = cdf.partition_cdf[ctx]
-                p64 = dec.decode_symbol(t, 10)
-                cdf.update(t, p64)
+                if sb_r * 16 + 8 < mi_rows:
+                    t = cdf.partition_cdf[ctx]
+                    p64 = dec.decode_symbol(t, 10)
+                    cdf.update(t, p64)
+                else:
+                    # SB crosses the frame bottom: split_or_horz bool
+                    p64 = read_partition_edge(dec, cdf, ctx, 64,
+                                              False, True)
                 if p64 == PARTITION_NONE:
                     self._part_sb_map[sb_r, sb_c + x_off // 64] = 0
                     self._decode_block(dec, cdf, st, sb_r * 16, sb_c * 16,
@@ -537,11 +549,17 @@ class Decoder:
                 for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     br, bc = sb_r * 2 + qr, sb_c * 2 + qc
                     mi_r, mi_c = br * 8, bc * 8
+                    if mi_r >= mi_rows:
+                        continue         # quad below the frame bottom
                     ctx = self._part_ctx(st.above_part[mi_c],
                                          st.left_part[qr * 8], 2)
-                    t = cdf.partition_cdf[ctx]
-                    p32 = dec.decode_symbol(t, 10)
-                    cdf.update(t, p32)
+                    if mi_r + 4 < mi_rows:
+                        t = cdf.partition_cdf[ctx]
+                        p32 = dec.decode_symbol(t, 10)
+                        cdf.update(t, p32)
+                    else:
+                        p32 = read_partition_edge(dec, cdf, ctx, 32,
+                                                  False, True)
                     if p32 == PARTITION_NONE:
                         self._decode_block(dec, cdf, st, mi_r, mi_c, 32,
                                            br, bc, seq, fr, is_inter_frame)
@@ -552,14 +570,20 @@ class Decoder:
                         for sr, sc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                             smr = mi_r + sr * 4
                             smc = mi_c + sc * 4
+                            if smr >= mi_rows:
+                                continue  # 16-leaf below the frame bottom
                             lctx = self._part_ctx(
                                 st.above_part[smc],
                                 st.left_part[qr * 8 + sr * 4], 1)
-                            t = cdf.partition_cdf[lctx]
-                            p16 = dec.decode_symbol(t, 10)
-                            cdf.update(t, p16)
+                            if smr + 2 < mi_rows:
+                                t = cdf.partition_cdf[lctx]
+                                p16 = dec.decode_symbol(t, 10)
+                                cdf.update(t, p16)
+                            else:
+                                p16 = read_partition_edge(dec, cdf, lctx,
+                                                          16, False, True)
                             _need(p16 == PARTITION_NONE,
-                                  "8x8 partitions unsupported")
+                                  "8x8/16x8 partitions unsupported")
                             self._decode_block(dec, cdf, st, smr, smc, 16,
                                                br, bc, seq, fr,
                                                is_inter_frame)
@@ -568,7 +592,7 @@ class Decoder:
                             st.left_part[lo:lo + 4] = 28
                     else:
                         raise DecodeError("unsupported partition type")
-        self._skip8[:, x_off // 8:(x_off + tw) // 8] = \
+        self._skip8[:h // 8, x_off // 8:(x_off + tw) // 8] = \
             st.skip_grid[::2, ::2].astype(bool)
         return cdf
 
@@ -751,6 +775,11 @@ class Decoder:
             y0 = (mi_r * 4) >> shift
             x0 = ((mi_c * 4) + x_off) >> shift
             units = (bs >> shift) // 4
+            # frame-bottom overhang: contexts read over in-frame units
+            # only; beyond-edge left entries reset to 0 after the txb
+            # (EbDecParseBlock.c:2117-2133, update_coeff_ctx :1644-1654)
+            valid_px = (st.grid.mi_rows * 4) >> shift
+            units_v = min(units, max(0, (valid_px - y0) // 4))
             au0 = ((mi_c * 4) >> shift) // 4
             lu0 = ((sb_mi_r * 4) >> shift) // 4
             if not skip:
@@ -759,15 +788,15 @@ class Decoder:
                 else:
                     a_nz = (st.above_cul[plane][au0:au0 + units] &
                             0x3F)[st.above_av[plane][au0:au0 + units]]
-                    l_nz = (st.left_cul[plane][lu0:lu0 + units] &
-                            0x3F)[st.left_av[plane][lu0:lu0 + units]]
+                    l_nz = (st.left_cul[plane][lu0:lu0 + units_v] &
+                            0x3F)[st.left_av[plane][lu0:lu0 + units_v]]
                     tctx = 7 + int((a_nz != 0).any()) + \
                         int((l_nz != 0).any())
                 signs = 0
                 for culs, avs in ((st.above_cul[plane][au0:au0 + units],
                                    st.above_av[plane][au0:au0 + units]),
-                                  (st.left_cul[plane][lu0:lu0 + units],
-                                   st.left_av[plane][lu0:lu0 + units])):
+                                  (st.left_cul[plane][lu0:lu0 + units_v],
+                                   st.left_av[plane][lu0:lu0 + units_v])):
                     for cl, av in zip(culs, avs):
                         if av:
                             sg = int(cl) >> 6
@@ -796,7 +825,8 @@ class Decoder:
                 cul = 0
             st.above_cul[plane][au0:au0 + units] = cul
             st.above_av[plane][au0:au0 + units] = True
-            st.left_cul[plane][lu0:lu0 + units] = cul
+            st.left_cul[plane][lu0:lu0 + units_v] = cul
+            st.left_cul[plane][lu0 + units_v:lu0 + units] = 0
             st.left_av[plane][lu0:lu0 + units] = True
 
             if is_inter and mv1 is not None:
@@ -815,7 +845,8 @@ class Decoder:
                                      angle_delta if plane == 0 else 0,
                                      br, bc, seq, bs,
                                      ha=have_above, hl=have_left,
-                                     tile_bw=st.mi_cols_t * 4 // 32)
+                                     tile_bw=st.mi_cols_t * 4 // 32,
+                                     vh=seq.height >> shift)
             if lev.any():
                 dq = dequantize(lev[None], txs, fr.base_q_idx,
                                 seq.bit_depth)
@@ -829,8 +860,11 @@ class Decoder:
         st.skip_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = skip
 
     def _predict(self, rec, y0, x0, bs, mode, adelta, br, bc, seq,
-                 luma_bs=32, ha=None, hl=None, tile_bw=None):
+                 luma_bs=32, ha=None, hl=None, tile_bw=None, vh=None):
         h, w = rec.shape
+        # edge pixel rows clamp at the true plane height (spec §7.11.2
+        # maxY): bottom-overhanging blocks replicate the last in-frame row
+        vh = h if vh is None else vh
         base = 1 << (seq.bit_depth - 1)
         if ha is None:
             ha, hl = y0 > 0, x0 > 0
@@ -841,7 +875,8 @@ class Decoder:
         else:
             above = np.full(bs, base - 1, np.int32)
         if hl:
-            left = rec[y0:y0 + bs, x0 - 1].astype(np.int32)
+            lrows = np.minimum(np.arange(y0, y0 + bs), vh - 1)
+            left = rec[lrows, x0 - 1].astype(np.int32)
         elif ha:
             left = np.full(bs, rec[y0 - 1, x0], np.int32)
         else:
@@ -886,7 +921,8 @@ class Decoder:
             else:
                 tr = np.full(bs, above[-1], np.int32)
             if has_bl and hl:
-                bl = rec[y0 + bs:y0 + 2 * bs, x0 - 1].astype(np.int32)
+                brows = np.minimum(np.arange(y0 + bs, y0 + 2 * bs), vh - 1)
+                bl = rec[brows, x0 - 1].astype(np.int32)
             else:
                 bl = np.full(bs, left[-1], np.int32)
             above_ext = np.concatenate([above, tr])
@@ -951,21 +987,27 @@ class Decoder:
                 tile_data = payload[r.bits_read // 8:]
                 self._end_cdf = None
                 y, u, v = self._decode_tile(tile_data, self.seq, fr)
+                th = self.seq.height
+                vh = None if y.shape[0] == th else th
+                vhc = None if vh is None else vh // 2
                 if fr.filter_level[0] or fr.filter_level[1]:
                     pm = self._part_map
                     psb = self._part_sb_map
                     y = np.asarray(deblock_plane_part(
                         y, pm, 32, 14, fr.filter_level[0],
                         fr.filter_level[1], fr.lf_sharpness,
-                        bd=self.seq.bit_depth, part_sb=psb))
+                        bd=self.seq.bit_depth, part_sb=psb, valid_h=vh))
                     u = np.asarray(deblock_plane_part(
                         u, pm, 16, 6, fr.filter_level_u,
                         fr.filter_level_u, fr.lf_sharpness,
-                        bd=self.seq.bit_depth, part_sb=psb))
+                        bd=self.seq.bit_depth, part_sb=psb, valid_h=vhc))
                     v = np.asarray(deblock_plane_part(
                         v, pm, 16, 6, fr.filter_level_v,
                         fr.filter_level_v, fr.lf_sharpness,
-                        bd=self.seq.bit_depth, part_sb=psb))
+                        bd=self.seq.bit_depth, part_sb=psb, valid_h=vhc))
+                # crop the SB-padded recon to the signaled frame size;
+                # every later stage (CDEF/LR/refs/output) sees true dims
+                y, u, v = y[:th], u[:th // 2], v[:th // 2]
                 db_planes = (y.copy(), u.copy(), v.copy())
                 if self.seq.enable_cdef and any(
                         p or s for p, s in (fr.cdef_y_strengths +

@@ -76,3 +76,57 @@ def write_uv_mode(enc, cdf, cfl_allowed: bool, y_mode: int, uv_mode: int):
 
 def is_directional(mode: int) -> bool:
     return 1 <= mode <= 8
+
+
+def _cdf_elem_prob(t, e: int, nsyms: int) -> int:
+    hi = 32768 if e == 0 else int(t[e - 1])
+    lo = int(t[e]) if e < nsyms - 1 else 0
+    return hi - lo
+
+
+def write_partition_edge(enc, cdf, ctx: int, split: bool, bsize_w: int,
+                         has_rows: bool, has_cols: bool):
+    """Partition signaling for blocks crossing the frame edge (spec
+    5.11.4 / reference EbDecParseBlock.c parse_partition_type): when one
+    dimension is present a SPLIT-vs-(HORZ|VERT) bool is coded with a
+    probability gathered from the partition CDF (partition_gather_*_alike,
+    EbCabacContextModel.h:721-747, no adaptation); when neither is
+    present the partition is an implied SPLIT (no bits)."""
+    if not has_rows and not has_cols:
+        assert split
+        return
+    t = cdf.partition_cdf[ctx]
+    n = n_partition_symbols(bsize_w)
+    if has_cols:                       # crosses the bottom: SPLIT or HORZ
+        elems = [PARTITION_VERT, PARTITION_SPLIT, PARTITION_HORZ_A,
+                 PARTITION_VERT_A, PARTITION_VERT_B, PARTITION_VERT_4]
+    else:                              # crosses the right: SPLIT or VERT
+        elems = [PARTITION_HORZ, PARTITION_SPLIT, PARTITION_HORZ_A,
+                 PARTITION_HORZ_B, PARTITION_VERT_A, PARTITION_HORZ_4]
+    psum = sum(_cdf_elem_prob(t, e, n) for e in elems if e < n)
+    # scratch 2-symbol icdf: sym 1 = SPLIT with prob psum/32768
+    icdf = np.array([psum, 0, 0], np.int32)
+    enc.encode_symbol(1 if split else 0, icdf, 2)
+
+
+def read_partition_edge(dec, cdf, ctx: int, bsize_w: int,
+                        has_rows: bool, has_cols: bool) -> int:
+    """Decoder mirror of write_partition_edge: returns the partition
+    (PARTITION_SPLIT / PARTITION_HORZ / PARTITION_VERT).  No CDF
+    adaptation — the scratch bool is derived per read
+    (EbDecParseBlock.c:1940-1954)."""
+    if not has_rows and not has_cols:
+        return PARTITION_SPLIT
+    t = cdf.partition_cdf[ctx]
+    n = n_partition_symbols(bsize_w)
+    if has_cols:
+        elems = [PARTITION_VERT, PARTITION_SPLIT, PARTITION_HORZ_A,
+                 PARTITION_VERT_A, PARTITION_VERT_B, PARTITION_VERT_4]
+        other = PARTITION_HORZ
+    else:
+        elems = [PARTITION_HORZ, PARTITION_SPLIT, PARTITION_HORZ_A,
+                 PARTITION_HORZ_B, PARTITION_VERT_A, PARTITION_HORZ_4]
+        other = PARTITION_VERT
+    psum = sum(_cdf_elem_prob(t, e, n) for e in elems if e < n)
+    icdf = np.array([psum, 0, 0], np.int32)
+    return PARTITION_SPLIT if dec.decode_symbol(icdf, 2) else other

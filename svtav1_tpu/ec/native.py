@@ -49,7 +49,7 @@ def _load():
         ctypes.c_int,
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
-        ctypes.POINTER(_Tables)]
+        ctypes.POINTER(_Tables), ctypes.c_int]
     _lib = lib
     return lib
 
@@ -64,8 +64,11 @@ def available() -> bool:
 
 def encode_tile_intra(width: int, height: int, update_cdf: bool,
                       y_modes: np.ndarray, y_lev: np.ndarray,
-                      u_lev: np.ndarray, v_lev: np.ndarray, cdf) -> bytes:
-    """cdf: spec.cdf.CdfContext (its tables are copied, not mutated)."""
+                      u_lev: np.ndarray, v_lev: np.ndarray, cdf,
+                      true_h: int = 0) -> bytes:
+    """cdf: spec.cdf.CdfContext (its tables are copied, not mutated).
+    true_h: signaled frame height when `height` is the SB-padded plane
+    height (0 → equal); bottom-edge geometry per encoder/geometry.py."""
     from ..spec import tables as tbl
 
     lib = _load()
@@ -110,7 +113,8 @@ def encode_tile_intra(width: int, height: int, update_cdf: bool,
         np.ascontiguousarray(y_modes, np.int32),
         np.ascontiguousarray(y_lev, np.int32),
         np.ascontiguousarray(u_lev, np.int32),
-        np.ascontiguousarray(v_lev, np.int32), ctypes.byref(t))
+        np.ascontiguousarray(v_lev, np.int32), ctypes.byref(t),
+        int(true_h))
     if n <= 0:
         raise RuntimeError("native tile coder failed")
     return dst.raw[:n]

@@ -76,8 +76,13 @@ def _lambda(qindex: int) -> float:
 
 class IntraEncoder:
     def __init__(self, cfg: EncoderConfig):
-        if cfg.width % SB or cfg.height % SB:
-            raise NotImplementedError("round-1 slice: dims multiple of 64")
+        from .geometry import check_dims, pad64
+        check_dims(cfg.width, cfg.height, cfg.part_search,
+                   inloop_extras=(cfg.enable_cdef or cfg.enable_lr or
+                                  cfg.enable_ccso))
+        # source is padded to SB multiples; the bitstream signals the true
+        # frame size and bottom-row blocks legally overhang (geometry.py)
+        self.ph = pad64(cfg.height)
         t = cfg.tile_cols
         if t < 1 or (t & (t - 1)):
             raise ValueError("tile_cols must be a power of two")
@@ -133,27 +138,34 @@ class IntraEncoder:
         batch can overlap; the reference's process pipelining,
         SURVEY.md §2.9)."""
         cfg = self.cfg
-        yb = np.stack([f[0] for f in frames])
-        ub = np.stack([f[1] for f in frames])
-        vb = np.stack([f[2] for f in frames])
+        from .geometry import pad_plane_bottom
+        yb = pad_plane_bottom(np.stack([f[0] for f in frames]), self.ph)
+        ub = pad_plane_bottom(np.stack([f[1] for f in frames]),
+                              self.ph // 2)
+        vb = pad_plane_bottom(np.stack([f[2] for f in frames]),
+                              self.ph // 2)
         bd = cfg.bit_depth
+        vh = None if self.ph == cfg.height else cfg.height
+        vhc = None if vh is None else vh // 2
         if cfg.part_search:
             return self._device_encode_part(yb, ub, vb, frames)
         y_mi, y_lev, y_rec = encode_plane_wavefront(
             yb, BLK, TX_32X32, cfg.qindex, CAND_MODES, bd,
-            tuple(cfg.angle_deltas))
+            tuple(cfg.angle_deltas), valid_h=vh)
         u_mi, u_lev, u_rec = encode_plane_wavefront(
-            ub, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd)
+            ub, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd,
+            valid_h=vhc)
         v_mi, v_lev, v_rec = encode_plane_wavefront(
-            vb, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd)
+            vb, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd,
+            valid_h=vhc)
         lf = self.lf_levels()
         if lf[0] or lf[1]:
             y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1],
-                                          bd=bd)
+                                          bd=bd, valid_h=vh)
             u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2],
-                                          bd=bd)
+                                          bd=bd, valid_h=vhc)
             v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3],
-                                          bd=bd)
+                                          bd=bd, valid_h=vhc)
         return (len(frames), y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec,
                 frames)
 
@@ -189,7 +201,10 @@ class IntraEncoder:
         B, h, w = yb.shape
         bh, bw = h // BLK, w // BLK
         sh, sw = h // 64, w // 64
+        vh = None if self.ph == cfg.height else cfg.height
+        vhc = None if vh is None else vh // 2
         from ..spec.txfm import TX_64X64
+        from .geometry import bottom_force_masks
         dummy_p = jnp.zeros((B, 1, bh, bw, 1, 1), jnp.int32)
         dummy_r = jnp.zeros((B, 1, bh, bw), jnp.float32)
         dummy_rs = jnp.zeros((B, 1, bh, bw, 4), jnp.float32)
@@ -201,8 +216,10 @@ class IntraEncoder:
         ones = jnp.ones((B, bh, bw), bool)
         ones4 = jnp.ones((B, bh, bw, 4), bool)
         ones_sb = jnp.ones((B, sh, sw), bool)
-        free = jnp.full((B, bh, bw), -1, jnp.int32)
-        free_sb = jnp.full((B, sh, sw), -1, jnp.int32)
+        free_np, free_sb_np = bottom_force_masks(bh, bw, sh, sw,
+                                                 cfg.height // 4)
+        free = jnp.asarray(np.broadcast_to(free_np, (B, bh, bw)))
+        free_sb = jnp.asarray(np.broadcast_to(free_sb_np, (B, sh, sw)))
         (part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec,
          part_sb, y_mi_sb, y_lev_sb) = \
             encode_plane_wavefront_part(
@@ -212,7 +229,7 @@ class IntraEncoder:
                 tuple(cfg.angle_deltas), True, cfg.tx_search,
                 sb_search=True, tx_sb=TX_64X64, extra_sb=dummy_psb,
                 extra_rate_sb=dummy_rsb, extra_ok_sb=dummy_osb,
-                intra_ok_sb=ones_sb, force_sb=free_sb)
+                intra_ok_sb=ones_sb, force_sb=free_sb, valid_h=vh)
         (_, u_mi, u_lev, u_smi, u_slev, _, u_rec,
          _, _, u_lev_sb) = \
             encode_plane_wavefront_part(
@@ -222,7 +239,7 @@ class IntraEncoder:
                 bd, (0,), True,
                 sb_search=True, tx_sb=TX_32X32, extra_sb=dummy_psb,
                 extra_rate_sb=dummy_rsb, extra_ok_sb=dummy_osb,
-                intra_ok_sb=ones_sb, force_sb=part_sb)
+                intra_ok_sb=ones_sb, force_sb=part_sb, valid_h=vhc)
         (_, v_mi, v_lev, v_smi, v_slev, _, v_rec,
          _, _, v_lev_sb) = \
             encode_plane_wavefront_part(
@@ -232,7 +249,7 @@ class IntraEncoder:
                 bd, (0,), True,
                 sb_search=True, tx_sb=TX_32X32, extra_sb=dummy_psb,
                 extra_rate_sb=dummy_rsb, extra_ok_sb=dummy_osb,
-                intra_ok_sb=ones_sb, force_sb=part_sb)
+                intra_ok_sb=ones_sb, force_sb=part_sb, valid_h=vhc)
         if T > 1:
             # reassemble full-frame planes/maps from the tile axis for
             # deblocking (the loop filter crosses tile boundaries)
@@ -263,17 +280,20 @@ class IntraEncoder:
                      for t in range(T)], axis=2)
             sse = np.asarray(dlf_sse_part(
                 y_rec, src_y, part_f, jnp.asarray(cand, jnp.int32),
-                BLK, 14, bd=bd, part_sb=part_sb_f))
+                BLK, 14, bd=bd, part_sb=part_sb_f, valid_h=vh))
             l = int(cand[int(np.argmin(sse))])
             lc = max(0, l * 3 // 4)
             lf = (l, l, lc, lc)
         if lf[0] or lf[1]:
             y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0],
-                                       lf[1], bd=bd, part_sb=part_sb_f)
+                                       lf[1], bd=bd, part_sb=part_sb_f,
+                                       valid_h=vh)
             u_rec = deblock_plane_part(u_rec, part_f, CBLK, 6, lf[2],
-                                       lf[2], bd=bd, part_sb=part_sb_f)
+                                       lf[2], bd=bd, part_sb=part_sb_f,
+                                       valid_h=vhc)
             v_rec = deblock_plane_part(v_rec, part_f, CBLK, 6, lf[3],
-                                       lf[3], bd=bd, part_sb=part_sb_f)
+                                       lf[3], bd=bd, part_sb=part_sb_f,
+                                       valid_h=vhc)
         return ("part", yb.shape[0] // T, part, y_mi, y_lev, y_smi, y_slev,
                 u_lev, u_slev, v_lev, v_slev, y_stx, y_rec, u_rec, v_rec,
                 frames, part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb,
@@ -354,10 +374,11 @@ class IntraEncoder:
             tiles = []
             for t in range(T):
                 i = t * n + b         # tile-major batch layout
-                tc = TileCoder(tw, cfg.height, cfg.qindex,
+                tc = TileCoder(tw, self.ph, cfg.qindex,
                                cfg.cdf_update, kf=True,
                                mi_col_off=t * tw // 4,
                                frame_mi_cols=cfg.width // 4,
+                               true_h=cfg.height,
                                cdef_bits=(cdef_params["bits"]
                                           if cdef_params else 0),
                                cdef_idx=(cdef_params["idx_map"]
@@ -392,7 +413,8 @@ class IntraEncoder:
                 self.seq, fr, tiles if T > 1 else tiles[0],
                 first=self._first))
             self._first = False
-            recons.append(rec_b)
+            ch, cch = cfg.height, cfg.height // 2
+            recons.append((rec_b[0][:ch], rec_b[1][:cch], rec_b[2][:cch]))
         return payloads, recons
 
     def host_finish(self, dev):
@@ -436,7 +458,8 @@ class IntraEncoder:
             payloads.append(assemble_key_frame(self.seq, fr, tiles[b],
                                                first=self._first))
             self._first = False
-            recons.append((y_rec[b], u_rec[b], v_rec[b]))
+            ch, cch = cfg.height, cfg.height // 2
+            recons.append((y_rec[b][:ch], u_rec[b][:cch], v_rec[b][:cch]))
         return payloads, recons
 
     def lf_levels(self):
@@ -463,14 +486,15 @@ class IntraEncoder:
             try:
                 from ..ec import native
                 return native.encode_tile_intra(
-                    cfg.width, cfg.height, cfg.cdf_update, y_modes, y_levels,
-                    u_levels, v_levels, CdfContext(cfg.qindex))
+                    cfg.width, self.ph, cfg.cdf_update, y_modes, y_levels,
+                    u_levels, v_levels, CdfContext(cfg.qindex),
+                    true_h=cfg.height)
             except Exception:
                 self.use_native = False
         mi_cols = cfg.width // 4
-        mi_rows = cfg.height // 4
+        mi_rows = cfg.height // 4          # true-height mi grid
         sb_cols = cfg.width // SB
-        sb_rows = cfg.height // SB
+        sb_rows = self.ph // SB
 
         enc = RangeEncoder()
         cdf = CdfContext(cfg.qindex, update=cfg.cdf_update)
@@ -494,16 +518,23 @@ class IntraEncoder:
             left_avail = {p: np.zeros_like(left_cul[p], bool)
                           for p in range(3)}
             for sb_c in range(sb_cols):
-                # 64x64: forced PARTITION_SPLIT
+                # 64x64: forced PARTITION_SPLIT (split_or_horz bool when
+                # the SB crosses the true frame bottom, spec §5.11.4)
                 mi_r, mi_c = sb_r * 16, sb_c * 16
                 ctx = M.partition_plane_ctx(int(above_part[mi_c]),
                                             int(left_part[0]), SB)
-                M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
+                if mi_r + 8 < mi_rows:
+                    M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
+                else:
+                    M.write_partition_edge(enc, cdf, ctx, True, SB,
+                                           False, True)
                 for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     br = sb_r * 2 + qr       # 32x32 block coords
                     bc = sb_c * 2 + qc
                     bmi_r = br * 8
                     bmi_c = bc * 8
+                    if bmi_r >= mi_rows:
+                        continue             # quad below the frame bottom
                     ctx = M.partition_plane_ctx(
                         int(above_part[bmi_c]), int(left_part[qr * 8]), BLK)
                     M.write_partition(enc, cdf, ctx, M.PARTITION_NONE, BLK)
@@ -556,6 +587,12 @@ class IntraEncoder:
                                     (2, v_lev, TX_16X16)):
                 shift = 0 if plane == 0 else 1
                 units = (BLK >> shift) // 4
+                # frame-bottom overhang: contexts read over in-frame
+                # units only; beyond-edge left entries reset to 0 after
+                # coding (EbDecParseBlock.c:2117-2133, :1644-1654)
+                row_px = (br * BLK) >> shift
+                valid_px = (mi_rows * 4) >> shift
+                units_v = min(units, max(0, (valid_px - row_px) // 4))
                 au0 = (bc * BLK >> shift) // 4
                 lu0 = ((br * BLK >> shift) // 4) % (16 >> shift)
                 if plane == 0:
@@ -563,21 +600,22 @@ class IntraEncoder:
                 else:
                     a_nz = (above_cul[plane][au0:au0 + units] &
                             0x3F)[above_avail[plane][au0:au0 + units]]
-                    l_nz = (left_cul[plane][lu0:lu0 + units] &
-                            0x3F)[left_avail[plane][lu0:lu0 + units]]
+                    l_nz = (left_cul[plane][lu0:lu0 + units_v] &
+                            0x3F)[left_avail[plane][lu0:lu0 + units_v]]
                     ctx_base = int((a_nz != 0).any()) + int((l_nz != 0).any())
                     txb_skip_ctx = 7 + ctx_base
                 dc_sign_ctx = self._dc_sign_ctx(
                     above_cul[plane][au0:au0 + units],
                     above_avail[plane][au0:au0 + units],
-                    left_cul[plane][lu0:lu0 + units],
-                    left_avail[plane][lu0:lu0 + units])
+                    left_cul[plane][lu0:lu0 + units_v],
+                    left_avail[plane][lu0:lu0 + units_v])
                 cul = write_coeffs_txb(
                     enc, cdf, lev, txs, DCT_DCT, min(plane, 1),
                     txb_skip_ctx, dc_sign_ctx)
                 above_cul[plane][au0:au0 + units] = cul
                 above_avail[plane][au0:au0 + units] = True
-                left_cul[plane][lu0:lu0 + units] = cul
+                left_cul[plane][lu0:lu0 + units_v] = cul
+                left_cul[plane][lu0 + units_v:lu0 + units] = 0
                 left_avail[plane][lu0:lu0 + units] = True
         else:
             # skip resets entropy contexts to 0

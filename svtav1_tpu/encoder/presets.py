@@ -59,9 +59,10 @@ def verify_settings(cfg, keyint: int = 64) -> None:
     Raises ValueError with the offending field named."""
     if cfg.width <= 0 or cfg.height <= 0:
         raise ValueError("width/height must be positive")
-    if cfg.width % 64 or cfg.height % 64:
-        raise ValueError("width/height must be multiples of 64 "
-                         "(SB-aligned; pad-to-SB is not implemented)")
+    from .geometry import check_dims
+    check_dims(cfg.width, cfg.height, cfg.part_search,
+               inloop_extras=(cfg.enable_cdef or cfg.enable_lr or
+                              cfg.enable_ccso))
     if cfg.width > 4096:
         raise ValueError("width > 4096 requires mandatory tile columns")
     if not 0 <= cfg.qindex <= 255:

@@ -33,12 +33,20 @@ class TileCoder:
     def __init__(self, width, height, qindex, cdf_update, kf: bool,
                  cdf_init=None, mi_col_off: int = 0,
                  frame_mi_cols: int = None, cdef_bits: int = 0,
-                 cdef_idx=None, comp: bool = False):
+                 cdef_idx=None, comp: bool = False, true_h: int = None):
+        """width/height are the padded (SB-aligned) plane dims the block
+        maps were produced at; true_h (≤ height, %8) is the signaled
+        frame height — blocks whose top-left falls outside it are not
+        coded, blocks crossing it use the spec's inferred edge
+        partitions (split_or_horz), and the last partial 16-row is
+        coded as PARTITION_HORZ 16x8 blocks ("the strip")."""
         self.w, self.h = width, height
         self.kf = kf
+        self.true_h = true_h if true_h is not None else height
         self.mi_col_off = mi_col_off
         self.frame_mi_cols = frame_mi_cols or width // 4
-        self.mi_cols, self.mi_rows = width // 4, height // 4
+        self.mi_cols, self.mi_rows = width // 4, self.true_h // 4
+        self.strip = None              # set via set_strip()
         self.enc = RangeEncoder()
         self.cdf = (cdf_init.clone() if cdf_init is not None
                     else CdfContext(qindex, update=cdf_update))
@@ -73,6 +81,13 @@ class TileCoder:
         self.lr_types = (0, 0, 0)
         self.lr_units = None
         self._lr_ref = None
+
+    def set_strip(self, mi, lev_y, lev_u, lev_v, mv=None):
+        """Bottom-strip 16x8 blocks (true_h %16 == 8): arrays indexed by
+        16-column — mi [w/16], lev_y [w/16, 8, 16], lev_u/v [w/16, 4, 8],
+        mv [w/16, 2 or 4]."""
+        self.strip = dict(mi=mi, lev_y=lev_y, lev_u=lev_u, lev_v=lev_v,
+                          mv=mv)
 
     def set_lr(self, lr_types, lr_units):
         from ..ec.lr_syntax import default_ref_state
@@ -110,7 +125,8 @@ class TileCoder:
         coded area is the 32x32 low band lev_sb_y, chroma TX_32X32
         (lev_sb_u/v), mv from mv_sb (same lane space as mv_top)."""
         enc, cdf = self.enc, self.cdf
-        sb_cols, sb_rows = self.w // SB, self.h // SB
+        sb_cols = self.w // SB
+        sb_rows = (self.mi_rows + 15) // 16
         for sb_r in range(sb_rows):
             self.left_part = np.zeros(SB // 4, np.uint8)
             self.left_cul = {0: np.zeros(SB // 4, np.uint8),
@@ -123,7 +139,9 @@ class TileCoder:
                 self._write_lr_sb(sb_r, sb_c)
                 ctx = M.partition_plane_ctx(int(self.above_part[sb_c * 16]),
                                             int(self.left_part[0]), SB)
-                sb_none = part_sb is not None and not part_sb[sb_r, sb_c]
+                sb_has_rows = sb_r * 16 + 8 < self.mi_rows
+                sb_none = (part_sb is not None and
+                           not part_sb[sb_r, sb_c] and sb_has_rows)
                 if sb_none:
                     from ..spec.txfm import TX_64X64
                     M.write_partition(enc, cdf, ctx, M.PARTITION_NONE, SB)
@@ -138,9 +156,15 @@ class TileCoder:
                     self.above_part[sb_c * 16:sb_c * 16 + 16] = a
                     self.left_part[:] = l
                     continue
-                M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
+                if sb_has_rows:
+                    M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
+                else:
+                    M.write_partition_edge(enc, cdf, ctx, True, SB,
+                                           False, True)
                 for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     br, bc = sb_r * 2 + qr, sb_c * 2 + qc
+                    if br * 8 >= self.mi_rows:
+                        continue       # 32-quad entirely below the frame
                     self._code_32(br, bc, qr, part, mi_top, lev_top_y,
                                   lev_top_u, lev_top_v, mi_sub, lev_sub_y,
                                   lev_sub_u, lev_sub_v, mv_top, mv_sub,
@@ -157,8 +181,9 @@ class TileCoder:
         mi_r, mi_c = br * 8, bc * 8
         ctx = M.partition_plane_ctx(int(self.above_part[mi_c]),
                                     int(self.left_part[qr * 8]), 32)
+        has_rows32 = mi_r + 4 < self.mi_rows
         split = bool(part[br, bc]) if part is not None else False
-        if not split:
+        if not split and has_rows32:
             M.write_partition(enc, cdf, ctx, M.PARTITION_NONE, 32)
             idx = int(mi_top[br, bc])
             mv = (mv_top[br, bc] if mv_top is not None else None)
@@ -169,31 +194,55 @@ class TileCoder:
             self.above_part[mi_c:mi_c + 8] = a
             self.left_part[qr * 8:qr * 8 + 8] = l
             return
-        M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, 32)
+        if has_rows32:
+            M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, 32)
+        else:
+            M.write_partition_edge(enc, cdf, ctx, True, 32, False, True)
         for z, (sr, sc) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
             smr, smc = mi_r + sr * 4, mi_c + sc * 4
+            if smr >= self.mi_rows:
+                continue               # 16-leaf below the frame
             lctx = M.partition_plane_ctx(
                 int(self.above_part[smc]),
                 int(self.left_part[qr * 8 + sr * 4]), 16)
-            M.write_partition(enc, cdf, lctx, M.PARTITION_NONE, 16)
-            idx = int(mi_sub[br, bc, z])
-            mv = (mv_sub[br, bc, z] if mv_sub is not None else None)
-            stx = (TX_SEARCH_TYPES[int(stx_sub[br, bc, z])]
-                   if stx_sub is not None else DCT_DCT)
-            self._code_block(smr, smc, 16, idx, n_i_sub, cands_sub,
-                             sly[br, bc, z], slu[br, bc, z],
-                             slv[br, bc, z], mv, TX_16X16, TX_8X8,
-                             y_tx_type=stx)
-            a, l = M.partition_ctx_value(16, 16)
+            if smr + 2 < self.mi_rows:
+                M.write_partition(enc, cdf, lctx, M.PARTITION_NONE, 16)
+                idx = int(mi_sub[br, bc, z])
+                mv = (mv_sub[br, bc, z] if mv_sub is not None else None)
+                stx = (TX_SEARCH_TYPES[int(stx_sub[br, bc, z])]
+                       if stx_sub is not None else DCT_DCT)
+                self._code_block(smr, smc, 16, idx, n_i_sub, cands_sub,
+                                 sly[br, bc, z], slu[br, bc, z],
+                                 slv[br, bc, z], mv, TX_16X16, TX_8X8,
+                                 y_tx_type=stx)
+                a, l = M.partition_ctx_value(16, 16)
+            else:
+                # partial 16: PARTITION_HORZ → one 16x8 strip block
+                M.write_partition_edge(enc, cdf, lctx, False, 16,
+                                       False, True)
+                st = self.strip
+                c16 = smc // 4
+                smv = (st["mv"][c16] if st["mv"] is not None else None)
+                self._code_block(smr, smc, 16, int(st["mi"][c16]),
+                                 n_i_sub, cands_sub, st["lev_y"][c16],
+                                 st["lev_u"][c16], st["lev_v"][c16],
+                                 smv, None, None, bs_h=8)
+                a, l = M.partition_ctx_value(16, 8)
             self.above_part[smc:smc + 4] = a
             self.left_part[qr * 8 + sr * 4:qr * 8 + sr * 4 + 4] = l
 
     # ---------------------------------------------------------------- #
 
     def _code_block(self, mi_r, mi_c, bs, idx, n_intra, cands, y_lev,
-                    u_lev, v_lev, mv, tx_y, tx_uv, y_tx_type=DCT_DCT):
+                    u_lev, v_lev, mv, tx_y, tx_uv, y_tx_type=DCT_DCT,
+                    bs_h: int = None):
         enc, cdf, grid = self.enc, self.cdf, self.grid
+        bs_h = bs if bs_h is None else bs_h
+        if tx_y is None:               # rect strip block: largest rect tx
+            from ..spec.txfm import TX_16X8, TX_8X4
+            tx_y, tx_uv = TX_16X8, TX_8X4
         bw4 = bs // 4
+        bh4 = bs_h // 4
         have_above, have_left = mi_r > 0, mi_c > 0
         is_inter = idx >= n_intra
         skip = int(not (y_lev.any() or u_lev.any() or v_lev.any()))
@@ -234,7 +283,7 @@ class TileCoder:
             # CfL is only allowed for blocks <= 32x32 (spec 5.11.5
             # intra_frame_mode_info); 64x64 blocks use the 13-symbol CDF
             M.write_uv_mode(enc, cdf, bs <= 32, mode, 0)
-            grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, mode)
+            grid.set_block(mi_r, mi_c, bw4, bh4, MV.INTRA_FRAME, mode)
             self.mode_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = mode
         else:
             above_inter = grid.is_inter(mi_r - 1, mi_c) if have_above \
@@ -277,7 +326,7 @@ class TileCoder:
                                                    counts)
                     mvp = tuple(int(v) for v in mv[:4])
                     res = find_mv_stack(
-                        grid, mi_r, mi_c, bw4, bw4,
+                        grid, mi_r, mi_c, bw4, bh4,
                         ref_frame=(MV.LAST_FRAME, MV.ALTREF_FRAME),
                         mi_col_off=self.mi_col_off,
                         frame_mi_cols=self.frame_mi_cols)
@@ -299,7 +348,7 @@ class TileCoder:
                         # assign_mv lower_mv_precision on PredMv)
                         IM.write_mv(enc, cdf, mvp[:2], p0[:2])
                         IM.write_mv(enc, cdf, mvp[2:], p0[2:])
-                    grid.set_block(mi_r, mi_c, bw4, bw4, MV.LAST_FRAME,
+                    grid.set_block(mi_r, mi_c, bw4, bh4, MV.LAST_FRAME,
                                    cmode, mvp[0], mvp[1],
                                    ref1=MV.ALTREF_FRAME, mv1r=mvp[2],
                                    mv1c=mvp[3])
@@ -307,7 +356,7 @@ class TileCoder:
                 else:
                     IM.write_ref_frame_last(enc, cdf, counts)
                     mvv = (int(mv[0]), int(mv[1]))
-                    res = find_mv_stack(grid, mi_r, mi_c, bw4, bw4,
+                    res = find_mv_stack(grid, mi_r, mi_c, bw4, bh4,
                                         mi_col_off=self.mi_col_off,
                                         frame_mi_cols=self.frame_mi_cols)
                     mode, ref_mv = choose_inter_mode(mvv, res)
@@ -317,52 +366,63 @@ class TileCoder:
                                          res.num_found)
                     if mode == MV.NEWMV:
                         IM.write_mv(enc, cdf, mvv, ref_mv)
-                    grid.set_block(mi_r, mi_c, bw4, bw4, MV.LAST_FRAME,
+                    grid.set_block(mi_r, mi_c, bw4, bh4, MV.LAST_FRAME,
                                    mode, mvv[0], mvv[1])
             else:
                 mode, delta = cands[idx]
                 y_mode = mode
-                IM._sym(enc, cdf, cdf.y_mode_cdf[SIZE_GROUP[bs]], mode, 13)
+                IM._sym(enc, cdf, cdf.y_mode_cdf[SIZE_GROUP[bs] if bs_h == bs else 1], mode, 13)
                 if M.is_directional(mode):
                     M.write_angle_delta(enc, cdf, mode, delta)
                 M.write_uv_mode(enc, cdf, bs <= 32, mode, 0)
-                grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, mode)
+                grid.set_block(mi_r, mi_c, bw4, bh4, MV.INTRA_FRAME, mode)
 
         self._code_residuals(mi_r, mi_c, bs, skip, is_inter, y_mode,
                              y_lev, u_lev, v_lev, tx_y, tx_uv,
-                             y_tx_type if not is_inter else DCT_DCT)
-        self.skip_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = skip
+                             y_tx_type if not is_inter else DCT_DCT,
+                             bs_h=bs_h)
+        self.skip_grid[mi_r:mi_r + bh4, mi_c:mi_c + bw4] = skip
 
     def _code_residuals(self, mi_r, mi_c, bs, skip, is_inter, y_mode,
                         y_lev, u_lev, v_lev, tx_y, tx_uv,
-                        y_tx_type=DCT_DCT):
+                        y_tx_type=DCT_DCT, bs_h: int = None):
         enc, cdf = self.enc, self.cdf
+        bs_h = bs if bs_h is None else bs_h
         sb_mi_r = mi_r % 16
         for plane, lev, txs in ((0, y_lev, tx_y), (1, u_lev, tx_uv),
                                 (2, v_lev, tx_uv)):
             shift = 0 if plane == 0 else 1
             units = (bs >> shift) // 4
+            units_h = (bs_h >> shift) // 4
+            # txbs overhanging the frame bottom: contexts are READ over
+            # only the in-frame units, and the beyond-edge left entries
+            # are reset to 0 (not cul) after coding — EbDecParseBlock.c
+            # parse_transform_block txb_h_unit clamp (:2117-2133) +
+            # update_coeff_ctx (:1644-1654)
+            row_px = (mi_r * 4) >> shift
+            valid_px = (self.mi_rows * 4) >> shift
+            units_v = min(units_h, max(0, (valid_px - row_px) // 4))
             au0 = ((mi_c * 4) >> shift) // 4
             lu0 = ((sb_mi_r * 4) >> shift) // 4
             if skip:
                 self.above_cul[plane][au0:au0 + units] = 0
                 self.above_av[plane][au0:au0 + units] = True
-                self.left_cul[plane][lu0:lu0 + units] = 0
-                self.left_av[plane][lu0:lu0 + units] = True
+                self.left_cul[plane][lu0:lu0 + units_h] = 0
+                self.left_av[plane][lu0:lu0 + units_h] = True
                 continue
             if plane == 0:
                 tctx = 0
             else:
                 a_nz = (self.above_cul[plane][au0:au0 + units] &
                         0x3F)[self.above_av[plane][au0:au0 + units]]
-                l_nz = (self.left_cul[plane][lu0:lu0 + units] &
-                        0x3F)[self.left_av[plane][lu0:lu0 + units]]
+                l_nz = (self.left_cul[plane][lu0:lu0 + units_v] &
+                        0x3F)[self.left_av[plane][lu0:lu0 + units_v]]
                 tctx = 7 + int((a_nz != 0).any()) + int((l_nz != 0).any())
             signs = 0
             for culs, avs in ((self.above_cul[plane][au0:au0 + units],
                                self.above_av[plane][au0:au0 + units]),
-                              (self.left_cul[plane][lu0:lu0 + units],
-                               self.left_av[plane][lu0:lu0 + units])):
+                              (self.left_cul[plane][lu0:lu0 + units_v],
+                               self.left_av[plane][lu0:lu0 + units_v])):
                 for cl, av in zip(culs, avs):
                     if av:
                         s = int(cl) >> 6
@@ -375,5 +435,6 @@ class TileCoder:
                                    intra_mode=y_mode)
             self.above_cul[plane][au0:au0 + units] = cul
             self.above_av[plane][au0:au0 + units] = True
-            self.left_cul[plane][lu0:lu0 + units] = cul
-            self.left_av[plane][lu0:lu0 + units] = True
+            self.left_cul[plane][lu0:lu0 + units_v] = cul
+            self.left_cul[plane][lu0 + units_v:lu0 + units_h] = 0
+            self.left_av[plane][lu0:lu0 + units_h] = True

@@ -54,13 +54,16 @@ def _dc_sign_ctx(a_cul, a_avail, l_cul, l_avail) -> int:
 
 def encode_inter_tile(width: int, height: int, qindex: int, cdf_update: bool,
                       y_cand, y_lev, u_lev, v_lev, mv8, cands, n_intra: int,
-                      cdf_init=None):
+                      cdf_init=None, true_h: int = None):
     """y_cand [bh,bw] candidate indices (>= n_intra → inter: n_intra=NEWMV,
     n_intra+1=GLOBALMV); mv8 [bh,bw,2] per-block ME mvs; cands = intra
     (mode, delta) list.  cdf_init: a CdfContext snapshot to start from
     (primary-ref inheritance) — defaults load from the standard tables.
+    true_h: signaled frame height when `height` is the SB-padded plane
+    height (bottom-edge partition rules, encoder/geometry.py FLAT_OK_M).
     Returns (payload bytes, frame-end CdfContext snapshot)."""
-    mi_cols, mi_rows = width // 4, height // 4
+    true_h = height if true_h is None else true_h
+    mi_cols, mi_rows = width // 4, true_h // 4
     sb_cols, sb_rows = width // SB, height // SB
     enc = RangeEncoder()
     cdf = (cdf_init.clone() if cdf_init is not None
@@ -85,10 +88,16 @@ def encode_inter_tile(width: int, height: int, qindex: int, cdf_update: bool,
             mi_c0 = sb_c * 16
             ctx = M.partition_plane_ctx(int(above_part[mi_c0]),
                                         int(left_part[0]), SB)
-            M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
+            if sb_r * 16 + 8 < mi_rows:
+                M.write_partition(enc, cdf, ctx, M.PARTITION_SPLIT, SB)
+            else:
+                M.write_partition_edge(enc, cdf, ctx, True, SB,
+                                       False, True)
             for qr, qc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                 br, bc = sb_r * 2 + qr, sb_c * 2 + qc
                 bmi_r, bmi_c = br * 8, bc * 8
+                if bmi_r >= mi_rows:
+                    continue             # quad below the frame bottom
                 ctx = M.partition_plane_ctx(
                     int(above_part[bmi_c]), int(left_part[qr * 8]), BLK)
                 M.write_partition(enc, cdf, ctx, M.PARTITION_NONE, BLK)
@@ -154,6 +163,11 @@ def _encode_block(enc, cdf, grid, br, bc, y_cand, y_lev_a, u_lev_a, v_lev_a,
                                 (2, v_lev, TX_16X16)):
             shift = 0 if plane == 0 else 1
             units = (BLK >> shift) // 4
+            # frame-bottom overhang context rules (EbDecParseBlock.c
+            # :2117-2133 read clamp, :1644-1654 zero beyond-edge)
+            row_px = (br * BLK) >> shift
+            valid_px = (mi_rows * 4) >> shift
+            units_v = min(units, max(0, (valid_px - row_px) // 4))
             au0 = (bc * BLK >> shift) // 4
             lu0 = ((br * BLK >> shift) // 4) % (16 >> shift)
             if plane == 0:
@@ -161,21 +175,22 @@ def _encode_block(enc, cdf, grid, br, bc, y_cand, y_lev_a, u_lev_a, v_lev_a,
             else:
                 a_nz = (above_cul[plane][au0:au0 + units] &
                         0x3F)[above_avail[plane][au0:au0 + units]]
-                l_nz = (left_cul[plane][lu0:lu0 + units] &
-                        0x3F)[left_avail[plane][lu0:lu0 + units]]
+                l_nz = (left_cul[plane][lu0:lu0 + units_v] &
+                        0x3F)[left_avail[plane][lu0:lu0 + units_v]]
                 ctx_base = int((a_nz != 0).any()) + int((l_nz != 0).any())
                 txb_skip_ctx = 7 + ctx_base
             dc_sign_ctx = _dc_sign_ctx(
                 above_cul[plane][au0:au0 + units],
                 above_avail[plane][au0:au0 + units],
-                left_cul[plane][lu0:lu0 + units],
-                left_avail[plane][lu0:lu0 + units])
+                left_cul[plane][lu0:lu0 + units_v],
+                left_avail[plane][lu0:lu0 + units_v])
             cul = write_coeffs_txb(enc, cdf, lev, txs, DCT_DCT,
                                    min(plane, 1), txb_skip_ctx, dc_sign_ctx,
                                    is_inter=is_inter)
             above_cul[plane][au0:au0 + units] = cul
             above_avail[plane][au0:au0 + units] = True
-            left_cul[plane][lu0:lu0 + units] = cul
+            left_cul[plane][lu0:lu0 + units_v] = cul
+            left_cul[plane][lu0 + units_v:lu0 + units] = 0
             left_avail[plane][lu0:lu0 + units] = True
     else:
         for plane in range(3):

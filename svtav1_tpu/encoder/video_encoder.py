@@ -387,7 +387,8 @@ class VideoEncoder:
         self._idx += 1
         return payload, rec
 
-    def _dlf_levels(self, q, y_rec, part_f, part_sb_f, src_y, bd):
+    def _dlf_levels(self, q, y_rec, part_f, part_sb_f, src_y, bd,
+                    valid_h=None):
         """Frame-level DLF level RDO (EbDeblockingFilter.c search): pick
         the luma level by SSE-vs-source sweep around the qindex
         heuristic; chroma follows at 3/4 (explicit cfg.lf_level still
@@ -402,7 +403,7 @@ class VideoEncoder:
         sse = np.asarray(dlf_sse_part(
             y_rec, jnp.asarray(src_y)[None].astype(jnp.int32), part_f,
             jnp.asarray(cand, jnp.int32), BLK, 14, bd=bd,
-            part_sb=part_sb_f))
+            part_sb=part_sb_f, valid_h=valid_h))
         l = int(cand[int(np.argmin(sse))])
         lc = max(0, l * 3 // 4)
         return (l, l, lc, lc)
@@ -438,10 +439,21 @@ class VideoEncoder:
         chain = cdf_init == "chain"
         cdf0 = self._cdf_state if chain else cdf_init
         bd = cfg.bit_depth
+        # h = TRUE height (MC clamp / DPB); hp = SB-padded grid height
         h, w = y.shape
-        bh, bw = h // BLK, w // BLK
-        N = bh * bw
+        hp = self.intra.ph
+        vh = None if hp == h else h
+        vhc = None if vh is None else vh // 2
         ry, ru, rv = self._dpb if ref is None else ref
+        ry_me = ry
+        if hp != h:
+            from .geometry import pad_plane_bottom
+            y = pad_plane_bottom(np.asarray(y), hp)
+            u = pad_plane_bottom(np.asarray(u), hp // 2)
+            v = pad_plane_bottom(np.asarray(v), hp // 2)
+            ry_me = pad_plane_bottom(np.asarray(ry), hp)
+        bh, bw = hp // BLK, w // BLK
+        N = bh * bw
 
         yb = jnp.asarray(y)[None].astype(jnp.int32)
         ryp = pad_plane(jnp.asarray(ry)[None].astype(jnp.int32))
@@ -449,7 +461,7 @@ class VideoEncoder:
         rvp = pad_plane(jnp.asarray(rv)[None].astype(jnp.int32))
 
         mv8, _sad = motion_estimate(jnp.asarray(y)[None],
-                                    jnp.asarray(ry)[None], BLK,
+                                    jnp.asarray(ry_me)[None], BLK,
                                     long_range=ref_dist > 4)
         mv8f = mv8.reshape(1, N, 2)
         y0 = (jnp.arange(N) // bw * BLK)[None]
@@ -473,7 +485,7 @@ class VideoEncoder:
 
         y_mi, y_lev, y_rec = encode_plane_wavefront_mixed(
             yb, BLK, TX_32X32, q, extra, extra_rate, ok, intra_ok,
-            2, P_INTRA_MODES, bd, tuple(cfg.angle_deltas))
+            2, P_INTRA_MODES, bd, tuple(cfg.angle_deltas), valid_h=vh)
 
         cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
         n_intra = len(cands)
@@ -490,20 +502,21 @@ class VideoEncoder:
         u_mi, u_lev, u_rec = encode_plane_wavefront_mixed(
             jnp.asarray(u)[None].astype(jnp.int32), CBLK, TX_16X16,
             q, pu.reshape(1, 1, bh, bw, CBLK, CBLK), c_rate, c_ok,
-            ~is_inter, 1, (0,), bd)     # intra candidate list: DC only
+            ~is_inter, 1, (0,), bd,
+            valid_h=vhc)                # intra candidate list: DC only
         v_mi, v_lev, v_rec = encode_plane_wavefront_mixed(
             jnp.asarray(v)[None].astype(jnp.int32), CBLK, TX_16X16,
             q, pv.reshape(1, 1, bh, bw, CBLK, CBLK), c_rate, c_ok,
-            ~is_inter, 1, (0,), bd)
+            ~is_inter, 1, (0,), bd, valid_h=vhc)
 
         lf = self._p_lf_levels(q)
         if lf[0] or lf[1]:
             y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1],
-                                          bd=bd)
+                                          bd=bd, valid_h=vh)
             u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2],
-                                          bd=bd)
+                                          bd=bd, valid_h=vhc)
             v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3],
-                                          bd=bd)
+                                          bd=bd, valid_h=vhc)
 
         y_mi = np.asarray(y_mi)[0]
         y_lev = np.asarray(y_lev)[0]
@@ -512,8 +525,8 @@ class VideoEncoder:
         mv_np = np.asarray(mv_final)[0]
 
         tile, end_cdf = encode_inter_tile(
-            w, h, q, cfg.cdf_update, y_mi, y_lev, u_lev, v_lev,
-            mv_np, cands, n_intra, cdf_init=cdf0)
+            w, hp, q, cfg.cdf_update, y_mi, y_lev, u_lev, v_lev,
+            mv_np, cands, n_intra, cdf_init=cdf0, true_h=h)
         hdr_extra = dict(hdr_extra or {})
         hdr_extra.setdefault("film_grain", self._fg_inter(hdr_extra))
         primary_ref = hdr_extra.pop("primary_ref_frame",
@@ -529,8 +542,8 @@ class VideoEncoder:
         if chain and cfg.cdf_update:
             self._cdf_state = snap
         payload = assemble_frame(self.seq, fr, tile, first=False)
-        rec = (np.asarray(y_rec)[0], np.asarray(u_rec)[0],
-               np.asarray(v_rec)[0])
+        rec = (np.asarray(y_rec)[0][:h], np.asarray(u_rec)[0][:h // 2],
+               np.asarray(v_rec)[0][:h // 2])
         return payload, rec, snap
 
 
@@ -557,8 +570,19 @@ class VideoEncoder:
         chain = cdf_init == "chain"
         cdf0 = self._cdf_state if chain else cdf_init
         bd = cfg.bit_depth
+        # h stays the TRUE (signaled) height — MC's UMV clamp and the DPB
+        # use it; hp is the SB-padded plane height for the block grids
+        # (bottom-row blocks overhang legally, encoder/geometry.py)
         h, w = y.shape
-        bh, bw = h // BLK, w // BLK
+        hp = self.intra.ph
+        vh = None if hp == h else h
+        vhc = None if vh is None else vh // 2
+        if hp != h:
+            from .geometry import pad_plane_bottom
+            y = pad_plane_bottom(np.asarray(y), hp)
+            u = pad_plane_bottom(np.asarray(u), hp // 2)
+            v = pad_plane_bottom(np.asarray(v), hp // 2)
+        bh, bw = hp // BLK, w // BLK
         N = bh * bw
         ry, ru, rv = self._dpb if ref is None else ref
 
@@ -566,8 +590,15 @@ class VideoEncoder:
         rup = pad_plane(jnp.asarray(ru)[None].astype(jnp.int32))
         rvp = pad_plane(jnp.asarray(rv)[None].astype(jnp.int32))
 
+        def _ref_me(r):
+            """Reference luma padded to the source grid for ME."""
+            if hp == h:
+                return jnp.asarray(r)[None]
+            from .geometry import pad_plane_bottom as _pb
+            return jnp.asarray(_pb(np.asarray(r), hp))[None]
+
         yj = jnp.asarray(y)[None]
-        rj = jnp.asarray(ry)[None]
+        rj = _ref_me(ry)
         lr_me = ref_dist > 4
         mv32, _ = motion_estimate(yj, rj, BLK, long_range=lr_me)
         mv16, _ = motion_estimate(yj, rj, 16, long_range=lr_me)
@@ -577,13 +608,13 @@ class VideoEncoder:
             r2yp = pad_plane(jnp.asarray(ry2)[None].astype(jnp.int32))
             r2up = pad_plane(jnp.asarray(ru2)[None].astype(jnp.int32))
             r2vp = pad_plane(jnp.asarray(rv2)[None].astype(jnp.int32))
-            rj2 = jnp.asarray(ry2)[None]
+            rj2 = _ref_me(ry2)
             lr2 = ref2_dist > 4
             mv32b, _ = motion_estimate(yj, rj2, BLK, long_range=lr2)
             mv16b, _ = motion_estimate(yj, rj2, 16, long_range=lr2)
 
         # 64x64 (SB-depth) inter candidates
-        sh, sw = h // 64, w // 64
+        sh, sw = hp // 64, w // 64
         Nsb = sh * sw
         mv64, _ = motion_estimate(yj, rj, 64, long_range=lr_me)
         if comp:
@@ -762,8 +793,11 @@ class VideoEncoder:
         ok_sub = jnp.ones((T, n_lanes, bh, bw_t, 4), bool)
         ok_sbl = jnp.ones((T, n_lanes, sh, sw_t), bool)
         ones_sb = jnp.ones((T, sh, sw_t), bool)
-        free = jnp.full((T, bh, bw_t), -1, jnp.int32)
-        free_sb = jnp.full((T, sh, sw_t), -1, jnp.int32)
+        from .geometry import bottom_force_masks
+        free_np, free_sb_np = bottom_force_masks(bh, bw_t, sh, sw_t,
+                                                 h // 4)
+        free = jnp.asarray(np.broadcast_to(free_np, (T, bh, bw_t)))
+        free_sb = jnp.asarray(np.broadcast_to(free_sb_np, (T, sh, sw_t)))
 
         from ..spec.txfm import TX_64X64
         (part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec,
@@ -776,7 +810,7 @@ class VideoEncoder:
                 cfg.tx_search, lam_scale,
                 sb_search=True, tx_sb=TX_64X64, extra_sb=extra_sb_t,
                 extra_rate_sb=rate_sbl_t, extra_ok_sb=ok_sbl,
-                intra_ok_sb=ones_sb, force_sb=free_sb)
+                intra_ok_sb=ones_sb, force_sb=free_sb, valid_h=vh)
 
         cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
         cands_sub = expand_candidates(SUB_MODES, (0,))
@@ -894,7 +928,7 @@ class VideoEncoder:
                 sb_search=True, tx_sb=TX_32X32,
                 extra_sb=tstack(psb.reshape(1, 1, sh, sw, 32, 32), 3),
                 extra_rate_sb=c_rate_sb, extra_ok_sb=c_ok_sb,
-                intra_ok_sb=~sb_inter, force_sb=part_sb)
+                intra_ok_sb=~sb_inter, force_sb=part_sb, valid_h=vhc)
 
         (_, u_mi, u_lev, u_smi, u_slev, _, u_rec,
          _, _, u_lev_sb) = chroma_pass(u, pu_t, pu_s, pu_sb)
@@ -907,15 +941,19 @@ class VideoEncoder:
         y_rec = tunstack(y_rec, 2)
         u_rec = tunstack(u_rec, 2)
         v_rec = tunstack(v_rec, 2)
-        lf = self._dlf_levels(q, y_rec, part_f, part_sb_f, y, bd)
+        lf = self._dlf_levels(q, y_rec, part_f, part_sb_f, y, bd,
+                              valid_h=vh)
         if lf[0] or lf[1]:
             from ..ops.deblock import deblock_plane_part
             y_rec = deblock_plane_part(y_rec, part_f, BLK, 14, lf[0],
-                                       lf[1], bd=bd, part_sb=part_sb_f)
+                                       lf[1], bd=bd, part_sb=part_sb_f,
+                                       valid_h=vh)
             u_rec = deblock_plane_part(u_rec, part_f, CBLK, 6, lf[2],
-                                       lf[2], bd=bd, part_sb=part_sb_f)
+                                       lf[2], bd=bd, part_sb=part_sb_f,
+                                       valid_h=vhc)
             v_rec = deblock_plane_part(v_rec, part_f, CBLK, 6, lf[3],
-                                       lf[3], bd=bd, part_sb=part_sb_f)
+                                       lf[3], bd=bd, part_sb=part_sb_f,
+                                       valid_h=vhc)
 
         arrs = [np.asarray(a) for a in
                 (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
@@ -1005,8 +1043,8 @@ class VideoEncoder:
         tiles = []
         end_cdf = None
         for t in range(T):
-            tc = TileCoder(tw_px, h, q, cfg.cdf_update, kf=False,
-                           cdf_init=cdf0, comp=comp,
+            tc = TileCoder(tw_px, hp, q, cfg.cdf_update, kf=False,
+                           cdf_init=cdf0, comp=comp, true_h=h,
                            mi_col_off=t * tw_px // 4,
                            frame_mi_cols=w // 4,
                            cdef_bits=(cdef_params["bits"]
@@ -1051,5 +1089,5 @@ class VideoEncoder:
             self._cdf_state = snap
         payload = assemble_frame(self.seq, fr,
                                  tiles if T > 1 else tiles[0], first=False)
-        rec = (y_rec_n, u_rec_n, v_rec_n)
+        rec = (y_rec_n[:h], u_rec_n[:h // 2], v_rec_n[:h // 2])
         return payload, rec, snap

@@ -148,24 +148,33 @@ def rd_params(qindex: int, bd: int, cands, kf: bool = True):
 
 def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                            modes: tuple = DEFAULT_MODES, bd: int = 8,
-                           angle_deltas: tuple = (0,)):
+                           angle_deltas: tuple = (0,), valid_h: int = None):
     cands = expand_candidates(modes, angle_deltas)
     rd = rd_params(qindex, bd, cands, kf=True)
-    return _wavefront_impl(src, rd, bs, tx_size, modes, bd, angle_deltas)
+    return _wavefront_impl(src, rd, bs, tx_size, modes, bd, angle_deltas,
+                           valid_h)
 
 
 @partial(jax.jit,
-         static_argnames=("bs", "tx_size", "modes", "bd", "angle_deltas"))
+         static_argnames=("bs", "tx_size", "modes", "bd", "angle_deltas",
+                          "valid_h"))
 def _wavefront_impl(src, rd, bs: int, tx_size: int,
                     modes: tuple = DEFAULT_MODES, bd: int = 8,
-                    angle_deltas: tuple = (0,)):
+                    angle_deltas: tuple = (0,), valid_h: int = None):
     """src [B, h, w] uint8/int32 (h, w multiples of 2*bs) →
     (cand_idx [B, bh, bw], levels [B, bh, bw, bs, bs], recon [B, h, w]).
 
     The candidate list is `expand_candidates(modes, angle_deltas)`; cand_idx
-    indexes into it."""
+    indexes into it.
+
+    valid_h: true (unpadded) frame height.  Left/below-left edge pixel
+    rows clamp at valid_h-1 — exactly the spec's bottom-edge rule (§7.11.2
+    maxY = MiRows*4-1 with replication of the last in-frame pixel), so
+    blocks overhanging an SB-padded bottom predict bit-identically to a
+    conformant decoder at the true frame size."""
     dqdc, dqac, lam, mode_rate = rd
     B, h, w = src.shape
+    vh = h if valid_h is None else valid_h
     bh, bw = h // bs, w // bs
     rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _quad_tables(bh, bw)
     D = rs_t.shape[2]
@@ -180,7 +189,8 @@ def _wavefront_impl(src, rd, bs: int, tx_size: int,
         return plane[:, y[:, None], x[:, None] + ar[None, :]]
 
     def gather_cols(plane, y, x):
-        return plane[:, y[:, None] + ar[None, :], x[:, None]]
+        rows = jnp.minimum(y[:, None] + ar[None, :], vh - 1)
+        return plane[:, rows, x[:, None]]
 
     def gather_blocks(plane, y, x):
         return plane[:, y[:, None, None] + ar[None, :, None],
@@ -310,21 +320,22 @@ def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
                                  extra_preds, extra_rate, extra_ok,
                                  intra_ok, n_extra: int,
                                  modes: tuple = DEFAULT_MODES, bd: int = 8,
-                                 angle_deltas: tuple = (0,)):
+                                 angle_deltas: tuple = (0,),
+                                 valid_h: int = None):
     cands = expand_candidates(modes, angle_deltas)
     rd = rd_params(qindex, bd, cands, kf=False)
     return _wavefront_mixed_impl(src, rd, extra_preds, extra_rate,
                                  extra_ok, intra_ok, bs, tx_size, n_extra,
-                                 modes, bd, angle_deltas)
+                                 modes, bd, angle_deltas, valid_h)
 
 
 @partial(jax.jit,
          static_argnames=("bs", "tx_size", "modes", "bd", "angle_deltas",
-                          "n_extra"))
+                          "n_extra", "valid_h"))
 def _wavefront_mixed_impl(src, rd, extra_preds, extra_rate, extra_ok,
                           intra_ok, bs: int, tx_size: int, n_extra: int,
                           modes: tuple = DEFAULT_MODES, bd: int = 8,
-                          angle_deltas: tuple = (0,)):
+                          angle_deltas: tuple = (0,), valid_h: int = None):
     """Wavefront mode decision with precomputed non-intra candidates
     (the inter path of the EncDec loop, EbProductCodingLoop.c MDSx inter
     classes → here dense candidate tensors evaluated alongside intra).
@@ -334,9 +345,12 @@ def _wavefront_mixed_impl(src, rd, extra_preds, extra_rate, extra_ok,
     float32 — rate estimate (bits); extra_ok [B, nE, bh, bw] bool;
     intra_ok [B, bh, bw] bool.  Returns (cand_idx, levels, recon) where
     cand_idx < n_intra selects the intra candidate list and cand_idx >=
-    n_intra selects extra candidate (cand_idx - n_intra)."""
+    n_intra selects extra candidate (cand_idx - n_intra).
+
+    valid_h: true frame height — see _wavefront_impl."""
     dqdc, dqac, lam, mode_rate = rd
     B, h, w = src.shape
+    vh = h if valid_h is None else valid_h
     bh, bw = h // bs, w // bs
     rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _quad_tables(bh, bw)
     D = rs_t.shape[2]
@@ -352,7 +366,8 @@ def _wavefront_mixed_impl(src, rd, extra_preds, extra_rate, extra_ok,
         return plane[:, y[:, None], x[:, None] + ar[None, :]]
 
     def gather_cols(plane, y, x):
-        return plane[:, y[:, None] + ar[None, :], x[:, None]]
+        rows = jnp.minimum(y[:, None] + ar[None, :], vh - 1)
+        return plane[:, rows, x[:, None]]
 
     def gather_blocks(plane, y, x):
         return plane[:, y[:, None, None] + ar[None, :, None],

@@ -110,7 +110,7 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 sb_search: bool = False, tx_sb: int = None,
                                 extra_sb=None, extra_rate_sb=None,
                                 extra_ok_sb=None, intra_ok_sb=None,
-                                force_sb=None):
+                                force_sb=None, valid_h: int = None):
     """Public wrapper: computes the per-qindex RD inputs host-side and
     passes them traced so per-frame q changes reuse the compilation.
 
@@ -153,13 +153,14 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 extra_ok_sb, intra_ok_sb, force_sb,
                                 bs, tx_top, tx_sub, n_extra,
                                 modes_top, modes_sub, bd, angle_deltas, kf,
-                                tx_search, sb_search, tx_sb)
+                                tx_search, sb_search, tx_sb, valid_h)
 
 
 @partial(jax.jit,
          static_argnames=("bs", "tx_top", "tx_sub", "modes_top",
                           "modes_sub", "bd", "angle_deltas", "n_extra",
-                          "kf", "tx_search", "sb_search", "tx_sb"))
+                          "kf", "tx_search", "sb_search", "tx_sb",
+                          "valid_h"))
 def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                          extra_sub, extra_rate_sub, extra_ok_top,
                          extra_ok_sub, intra_ok_top, intra_ok_sub,
@@ -169,7 +170,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                          n_extra: int, modes_top: tuple, modes_sub: tuple,
                          bd: int = 8, angle_deltas: tuple = (0,),
                          kf: bool = True, tx_search: bool = False,
-                         sb_search: bool = False, tx_sb: int = None):
+                         sb_search: bool = False, tx_sb: int = None,
+                         valid_h: int = None):
     """src [B,h,w] → (part [B,bh,bw] int32, mi_top [B,bh,bw],
     lev_top [B,bh,bw,bs,bs], mi_sub [B,bh,bw,4], lev_sub [B,bh,bw,4,h2,h2],
     recon [B,h,w]).
@@ -180,10 +182,15 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
     extra_rate_top [B,nE,bh,bw] / extra_rate_sub [B,nE,bh,bw,4];
     intra_ok_top [B,bh,bw] / intra_ok_sub [B,bh,bw,4] gate intra;
     force_part [B,bh,bw]: -1 free, 0 NONE, 1 SPLIT.
-    Candidate index space: [0..n_intra) intra then extras."""
+    Candidate index space: [0..n_intra) intra then extras.
+
+    valid_h: true (unpadded) frame height — left/below-left edge rows
+    clamp at valid_h-1, the spec's §7.11.2 maxY bottom-edge replication
+    (see wavefront.py _wavefront_impl)."""
     (dqdc, dqac, lam, rate_top, rate_sub, bits_none, bits_split,
      txt_tbl, mode_ids, rate_sb, bits_none_sb, bits_split_sb) = rd
     B, h, w = src.shape
+    vh = h if valid_h is None else valid_h
     hs = bs // 2
     bs2 = bs * 2
     bh, bw = h // bs, w // bs
@@ -208,7 +215,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
 
     def gather_cols(plane, y, x, n):
         a = jnp.arange(n)
-        return plane[:, y[:, None] + a[None, :], x[:, None]]
+        rows = jnp.minimum(y[:, None] + a[None, :], vh - 1)
+        return plane[:, rows, x[:, None]]
 
     def gather_blocks(plane, y, x, n):
         a = jnp.arange(n)

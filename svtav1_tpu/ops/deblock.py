@@ -182,17 +182,22 @@ def _thresholds_t(lvl, sharpness: int = 0):
 
 
 @partial(jax.jit, static_argnames=("spacing", "filter_length",
-                                   "sharpness", "bd"))
+                                   "sharpness", "bd", "valid_h"))
 def deblock_plane_uniform(plane, spacing: int, filter_length: int,
                           level_v, level_h, sharpness: int = 0,
-                          bd: int = 8):
+                          bd: int = 8, valid_h: int = None):
     """Deblock a plane with uniform TX grid `spacing` (our fixed-block intra
     frame): vertical-edge pass then horizontal-edge pass.
 
     level_v/level_h are traced scalars (0 disables the pass via masking)
     so per-frame filter-level changes — and the DLF level RDO search —
-    reuse one compilation."""
+    reuse one compilation.
+
+    valid_h: true (unpadded) frame height — horizontal edges at rows
+    >= valid_h are outside the frame and never filtered (the spec loops
+    mi rows only to MiRows; the plane itself is SB-padded)."""
     h, w = plane.shape[-2], plane.shape[-1]
+    vh = h if valid_h is None else valid_h
     x = jnp.asarray(plane).astype(jnp.int32)
     level_v = jnp.asarray(level_v, jnp.int32)
     level_h = jnp.asarray(level_h, jnp.int32)
@@ -208,6 +213,7 @@ def deblock_plane_uniform(plane, spacing: int, filter_length: int,
 
     mblim, lim, thr = _thresholds_t(level_h, sharpness)
     ys = np.arange(spacing, h, spacing)
+    ys = ys[ys < vh]
     rows = ys[:, None] + np.arange(-7, 7)[None, :]
     px = jnp.swapaxes(x, -1, -2)[..., :, rows]
     filt = _filter_core(px, filter_length, mblim, lim, thr, bd)
@@ -220,10 +226,10 @@ def deblock_plane_uniform(plane, spacing: int, filter_length: int,
 
 
 @partial(jax.jit, static_argnames=("spacing", "filter_length",
-                                   "sharpness", "bd"))
+                                   "sharpness", "bd", "valid_h"))
 def deblock_plane_part(plane, part, spacing: int, filter_length: int,
                        level_v, level_h, sharpness: int = 0,
-                       bd: int = 8, part_sb=None):
+                       bd: int = 8, part_sb=None, valid_h: int = None):
     """Partition-aware deblock: edges on the `spacing` grid always filter;
     half-spacing edges filter only inside blocks marked split in
     `part` [..., h//spacing, w//spacing].  Filter taps are unchanged
@@ -233,8 +239,13 @@ def deblock_plane_part(plane, part, spacing: int, filter_length: int,
     part_sb [..., h//(2*spacing), w//(2*spacing)] (0 = whole-SB block,
     1 = split) adds the superblock depth: `spacing` edges that are not on
     the 2*spacing grid — and all half-spacing edges — filter only inside
-    split SBs (a 64x64 NONE block is one TX with no interior tx edges)."""
+    split SBs (a 64x64 NONE block is one TX with no interior tx edges).
+
+    valid_h: true (unpadded) frame height — horizontal edges at rows
+    >= valid_h are outside the frame (spec loops mi rows to MiRows) and
+    are never filtered."""
     h, w = plane.shape[-2], plane.shape[-1]
+    vh = h if valid_h is None else valid_h
     x = jnp.asarray(plane).astype(jnp.int32)
     part = jnp.asarray(part)
     level_v = jnp.asarray(level_v, jnp.int32)
@@ -265,6 +276,7 @@ def deblock_plane_part(plane, part, spacing: int, filter_length: int,
 
     mblim, lim, thr = _thresholds_t(level_h, sharpness)
     ys_all = np.arange(hs, h, hs)
+    ys_all = ys_all[ys_all < vh]
     on_grid_h = (ys_all % spacing) == 0
     yb = ys_all // spacing
     xs_blk = np.arange(w) // spacing
@@ -289,21 +301,22 @@ def deblock_plane_part(plane, part, spacing: int, filter_length: int,
 
 
 @partial(jax.jit, static_argnames=("spacing", "filter_length",
-                                   "sharpness", "bd"))
+                                   "sharpness", "bd", "valid_h"))
 def dlf_sse_part(plane, src, part, levels, spacing: int,
                  filter_length: int, sharpness: int = 0, bd: int = 8,
-                 part_sb=None):
+                 part_sb=None, valid_h: int = None):
     """Frame-level DLF level search (reference: EbDeblockingFilter.c
     filter-level RDO): deblock `plane` at each candidate level in
     `levels` [nlev] (applied to both edge directions) and return the
     SSE vs `src` per candidate [nlev].  One compilation serves every
     frame/qindex — levels are traced."""
     src = jnp.asarray(src).astype(jnp.int32)
+    vh = plane.shape[-2] if valid_h is None else valid_h
     sses = []
     for i in range(levels.shape[0]):
         out = deblock_plane_part(plane, part, spacing, filter_length,
                                  levels[i], levels[i], sharpness, bd,
-                                 part_sb)
-        d = (out - src).astype(jnp.float32)
+                                 part_sb, valid_h=valid_h)
+        d = (out[..., :vh, :] - src[..., :vh, :]).astype(jnp.float32)
         sses.append(jnp.sum(d * d))
     return jnp.stack(sses)

@@ -200,8 +200,7 @@ def predict_inter_block_np(ref_padded: np.ndarray, y0: int, x0: int,
     ix = x0 + (q4c >> 4)
     ky = kern[q4r & 15].astype(np.int64)
     kx = kern[q4c & 15].astype(np.int64)
-    win = ref_padded[iy + pad - 3:iy + pad + bs + 4,
-                     ix + pad - 3:ix + pad + bs + 4].astype(np.int64)
+    win = _win_np(ref_padded, iy, ix, bs, pad)
     hsum = sum(int(kx[k]) * win[:, k:k + bs] for k in range(8)) + \
         (1 << (bd + FILTER_BITS - 1))
     im = (hsum + (1 << (ROUND0 - 1))) >> ROUND0
@@ -211,6 +210,17 @@ def predict_inter_block_np(ref_padded: np.ndarray, y0: int, x0: int,
     res = ((vsum + (1 << (ROUND1 - 1))) >> ROUND1) - \
         ((1 << (offset_bits - ROUND1)) + (1 << (offset_bits - ROUND1 - 1)))
     return np.clip(res, 0, (1 << bd) - 1).astype(np.int32)
+
+
+def _win_np(ref_padded, iy, ix, bs, pad):
+    """Window gather with index clamping (same as the jitted path's
+    jnp.clip): reads past the padded border land on the border replica
+    row/col, which has identical values by edge extension."""
+    rows = np.clip(np.arange(iy + pad - 3, iy + pad + bs + 4),
+                   0, ref_padded.shape[0] - 1)
+    cols = np.clip(np.arange(ix + pad - 3, ix + pad + bs + 4),
+                   0, ref_padded.shape[1] - 1)
+    return ref_padded[np.ix_(rows, cols)].astype(np.int64)
 
 
 def _predict_mid_np(ref_padded, y0, x0, mv8, frame_h, frame_w, bs,
@@ -233,8 +243,7 @@ def _predict_mid_np(ref_padded, y0, x0, mv8, frame_h, frame_w, bs,
     ix = x0 + (q4c >> 4)
     ky = kern[q4r & 15].astype(np.int64)
     kx = kern[q4c & 15].astype(np.int64)
-    win = ref_padded[iy + pad - 3:iy + pad + bs + 4,
-                     ix + pad - 3:ix + pad + bs + 4].astype(np.int64)
+    win = _win_np(ref_padded, iy, ix, bs, pad)
     hsum = sum(int(kx[k]) * win[:, k:k + bs] for k in range(8)) + \
         (1 << (bd + FILTER_BITS - 1))
     im = (hsum + (1 << (ROUND0 - 1))) >> ROUND0

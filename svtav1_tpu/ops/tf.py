@@ -106,7 +106,18 @@ def temporal_filter_frame(center, neighbors, qindex: int, bd: int = 8):
     from ..encoder.me import motion_estimate
 
     cy, cu, cv = (np.asarray(p) for p in center)
-    H, W = cy.shape
+    th, W = cy.shape
+    # SB-pad odd heights (source-side filter — output is cropped back)
+    ph = -(-th // 64) * 64
+    if ph != th:
+        from ..encoder.geometry import pad_plane_bottom
+        cy = pad_plane_bottom(cy, ph)
+        cu = pad_plane_bottom(cu, ph // 2)
+        cv = pad_plane_bottom(cv, ph // 2)
+        neighbors = [tuple(pad_plane_bottom(np.asarray(p), ph >> s)
+                           for p, s in zip(n, (0, 1, 1)))
+                     for n in neighbors]
+    H = ph
     K = len(neighbors)
     ny = jnp.stack([jnp.asarray(n[0]) for n in neighbors])
     nu = jnp.stack([jnp.asarray(n[1]) for n in neighbors])
@@ -125,4 +136,6 @@ def temporal_filter_frame(center, neighbors, qindex: int, bd: int = 8):
     dt = cy.dtype
     out = tuple(np.asarray(jnp.clip(jnp.round(p), 0, peak)).astype(dt)
                 for p in (fy, fu, fv))
+    if ph != th:
+        out = (out[0][:th], out[1][:th // 2], out[2][:th // 2])
     return out
