@@ -834,11 +834,12 @@ class Decoder:
                 pred = predict_inter_block_np_compound(
                     self._refp[plane], self._refp2[plane], y0, x0, mv,
                     mv1, seq.height, seq.width, pbs, shift,
-                    seq.bit_depth)
+                    seq.bit_depth, filt=fr.interpolation_filter)
             elif is_inter:
                 pred = predict_inter_block_np(
                     self._refp[plane], y0, x0, mv, seq.height, seq.width,
-                    pbs, shift, seq.bit_depth)
+                    pbs, shift, seq.bit_depth,
+                    filt=fr.interpolation_filter)
             else:
                 pred = self._predict(rec, y0, x0, pbs,
                                      y_mode if plane == 0 else 0,

@@ -65,6 +65,8 @@ class EncoderConfig:
                                 # dav1d rejects them, like the fork's own
                                 # output; decode with our Decoder(ccso=True))
     tx_search: bool = True      # tx-type RD on 16x16 intra luma leaves
+    filter_search: bool = True  # frame-level interp filter decision
+                                # (REGULAR/SMOOTH/SHARP) on inter frames
     film_grain: int = 0         # grain synthesis strength 0(off)..50:
                                 # noise_model estimation + §5.9.30 syntax
 

@@ -21,22 +21,23 @@ from __future__ import annotations
 
 from dataclasses import replace
 
-# enc_mode -> (angle_deltas, part_search, tx_search, cdef, cdf_update)
+# enc_mode -> (angle_deltas, part_search, tx_search, cdef, cdf_update,
+#              filter_search)
 _PRESETS = {
-    0:  ((-3, -2, -1, 0, 1, 2, 3), True, True, True, True),
-    1:  ((-3, -2, -1, 0, 1, 2, 3), True, True, True, True),
-    2:  ((-3, -1, 0, 1, 3), True, True, True, True),
-    3:  ((-2, 0, 2), True, True, True, True),
-    4:  ((-2, 0, 2), True, True, True, True),
-    5:  ((-2, 0, 2), True, True, True, True),
-    6:  ((0,), True, True, True, True),
-    7:  ((0,), True, True, True, True),
-    8:  ((0,), True, True, True, True),
-    9:  ((0,), True, False, True, True),
-    10: ((0,), True, False, False, True),
-    11: ((0,), False, False, False, True),
-    12: ((0,), False, False, False, True),
-    13: ((0,), False, False, False, False),
+    0:  ((-3, -2, -1, 0, 1, 2, 3), True, True, True, True, True),
+    1:  ((-3, -2, -1, 0, 1, 2, 3), True, True, True, True, True),
+    2:  ((-3, -1, 0, 1, 3), True, True, True, True, True),
+    3:  ((-2, 0, 2), True, True, True, True, True),
+    4:  ((-2, 0, 2), True, True, True, True, True),
+    5:  ((-2, 0, 2), True, True, True, True, True),
+    6:  ((0,), True, True, True, True, True),
+    7:  ((0,), True, True, True, True, True),
+    8:  ((0,), True, True, True, True, True),
+    9:  ((0,), True, False, True, True, True),
+    10: ((0,), True, False, False, True, True),
+    11: ((0,), False, False, False, True, False),
+    12: ((0,), False, False, False, True, False),
+    13: ((0,), False, False, False, False, False),
 }
 
 MAX_ENC_MODE = max(_PRESETS)
@@ -49,9 +50,9 @@ def apply_preset(cfg, enc_mode: int):
     if not 0 <= enc_mode <= MAX_ENC_MODE:
         raise ValueError(f"preset must be 0..{MAX_ENC_MODE}, "
                          f"got {enc_mode}")
-    ad, part, tx, cdef, cdf = _PRESETS[enc_mode]
+    ad, part, tx, cdef, cdf, ifs = _PRESETS[enc_mode]
     return replace(cfg, angle_deltas=ad, part_search=part, tx_search=tx,
-                   enable_cdef=cdef, cdf_update=cdf)
+                   enable_cdef=cdef, cdf_update=cdf, filter_search=ifs)
 
 
 def verify_settings(cfg, keyint: int = 64) -> None:

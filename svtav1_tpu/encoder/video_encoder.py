@@ -33,6 +33,29 @@ CBLK = 16
 P_INTRA_MODES = CAND_MODES
 
 
+def _pick_interp_filt(src, refp, y0, x0, mv8f, h, w, bd):
+    """Frame-level interpolation-filter decision: SAD of the
+    motion-compensated luma prediction at the chosen full-block MVs
+    under REGULAR/SMOOTH/SHARP, argmin over subpel blocks only
+    (integer-MV blocks are filter-invariant — the phase-0 kernel is the
+    identity in every set).  Signaled via the frame header's
+    `interpolation_filter`; the reference searches per block inside MD
+    (EbEncInterPrediction.c:2413 interpolation filter search) — this
+    captures the frame-dominant choice with three extra MC dispatches."""
+    bh, bw = src.shape[-2] // BLK, src.shape[-1] // BLK
+    src_b = src.reshape(1, bh, BLK, bw, BLK).transpose(
+        0, 1, 3, 2, 4).reshape(1, bh * bw, BLK, BLK).astype(jnp.int32)
+    subpel = jnp.any((mv8f & 7) != 0, axis=-1)
+    if not bool(np.asarray(jnp.any(subpel))):
+        return 0
+    costs = [
+        jnp.sum(jnp.abs(predict_inter_blocks(refp, y0, x0, mv8f, h, w,
+                                             BLK, 0, bd, f) - src_b)
+                .sum((-1, -2)) * subpel)
+        for f in range(3)]
+    return int(np.argmin(np.asarray(jnp.stack(costs))))
+
+
 class VideoEncoder:
     """Low-delay I/P encoder.  keyint=1 degenerates to all-intra."""
 
@@ -78,6 +101,13 @@ class VideoEncoder:
         self._sad_hist = []           # recent non-cut SADs (adaptation)
 
     # -------------------------------------------------------------- #
+
+    def mark_continuation(self):
+        """GOP-parallel chunk encoders after the first must not repeat
+        the sequence-header OBU: the orchestrator emits it once (the
+        reference writes the SPS once from resource coordination)."""
+        self.intra._first = False
+        self._first = False
 
     def encode_frames(self, frames):
         """Sequential low-delay encode (each P frame references the
@@ -466,12 +496,14 @@ class VideoEncoder:
         mv8f = mv8.reshape(1, N, 2)
         y0 = (jnp.arange(N) // bw * BLK)[None]
         x0 = (jnp.arange(N) % bw * BLK)[None]
+        filt = _pick_interp_filt(yb, ryp, y0, x0, mv8f, h, w, bd) \
+            if cfg.filter_search else 0
 
         pred_new = predict_inter_blocks(ryp, y0, x0, mv8f, h, w, BLK,
-                                        0, bd)
+                                        0, bd, filt)
         pred_zero = predict_inter_blocks(ryp, y0, x0,
                                          jnp.zeros_like(mv8f), h, w, BLK,
-                                         0, bd)
+                                         0, bd, filt)
         extra = jnp.stack([pred_new, pred_zero],
                           1).reshape(1, 2, bh, bw, BLK, BLK)
         # rate estimates (bits): NEWMV ≈ mode + mv magnitude; GLOBAL ≈ mode
@@ -495,8 +527,8 @@ class VideoEncoder:
         # chroma: inter blocks reuse the luma mv; intra blocks use DC
         mv_cf = mv_final.reshape(1, N, 2)
         y0c, x0c = y0 // 2, x0 // 2
-        pu = predict_inter_blocks(rup, y0c, x0c, mv_cf, h, w, CBLK, 1, bd)
-        pv = predict_inter_blocks(rvp, y0c, x0c, mv_cf, h, w, CBLK, 1, bd)
+        pu = predict_inter_blocks(rup, y0c, x0c, mv_cf, h, w, CBLK, 1, bd, filt)
+        pv = predict_inter_blocks(rvp, y0c, x0c, mv_cf, h, w, CBLK, 1, bd, filt)
         c_ok = is_inter[:, None]
         c_rate = jnp.zeros((1, 1, bh, bw), jnp.float32)
         u_mi, u_lev, u_rec = encode_plane_wavefront_mixed(
@@ -537,6 +569,7 @@ class VideoEncoder:
                          primary_ref_frame=primary_ref,
                          filter_level=(lf[0], lf[1]),
                          filter_level_u=lf[2], filter_level_v=lf[3],
+                         interpolation_filter=filt,
                          **(hdr_extra or {}))
         snap = end_cdf.snapshot() if cfg.cdf_update else None
         if chain and cfg.cdf_update:
@@ -639,21 +672,22 @@ class VideoEncoder:
         x0 = (jnp.arange(N) % bw * BLK)[None]
         mv32f = mv32.reshape(1, N, 2)
         mvp32f = mvp32.reshape(1, N, 2)
-        pred_new = predict_inter_blocks(ryp, y0, x0, mv32f, h, w, BLK, 0,
-                                        bd)
+        filt = _pick_interp_filt(yj.astype(jnp.int32), ryp, y0, x0,
+                                 mv32f, h, w, bd) \
+            if cfg.filter_search else 0
+        pred_new = predict_inter_blocks(ryp, y0, x0, mv32f, h, w, BLK, 0, bd, filt)
         pred_zero = predict_inter_blocks(ryp, y0, x0, jnp.zeros_like(mv32f),
-                                         h, w, BLK, 0, bd)
-        pred_mvp = predict_inter_blocks(ryp, y0, x0, mvp32f, h, w, BLK, 0,
-                                        bd)
+                                         h, w, BLK, 0, bd, filt)
+        pred_mvp = predict_inter_blocks(ryp, y0, x0, mvp32f, h, w, BLK, 0, bd, filt)
         top_lanes = [pred_new, pred_zero, pred_mvp]
         if comp:
             from ..ops.mc import predict_inter_blocks_compound
             mv32bf = mv32b.reshape(1, N, 2)
             pc_new = predict_inter_blocks_compound(
-                ryp, r2yp, y0, x0, mv32f, mv32bf, h, w, BLK, 0, bd)
+                ryp, r2yp, y0, x0, mv32f, mv32bf, h, w, BLK, 0, bd, filt)
             pc_zero = predict_inter_blocks_compound(
                 ryp, r2yp, y0, x0, jnp.zeros_like(mv32f),
-                jnp.zeros_like(mv32bf), h, w, BLK, 0, bd)
+                jnp.zeros_like(mv32bf), h, w, BLK, 0, bd, filt)
             top_lanes += [pc_new, pc_zero]
         n_lanes = len(top_lanes)
         extra_top = jnp.stack(top_lanes, 1).reshape(
@@ -672,13 +706,12 @@ class VideoEncoder:
         sy0 = b_r * BLK + (zz >> 1) * 16
         sx0 = b_c * BLK + (zz & 1) * 16
         p16_new = predict_inter_blocks(ryp, sy0[None], sx0[None], mvsf, h,
-                                       w, 16, 0, bd)
+                                       w, 16, 0, bd, filt)
         p16_zero = predict_inter_blocks(ryp, sy0[None], sx0[None],
-                                        jnp.zeros_like(mvsf), h, w, 16, 0,
-                                        bd)
+                                        jnp.zeros_like(mvsf), h, w, 16, 0, bd, filt)
         mvp16f = mvp16z.reshape(1, N * 4, 2)
         p16_mvp = predict_inter_blocks(ryp, sy0[None], sx0[None], mvp16f,
-                                       h, w, 16, 0, bd)
+                                       h, w, 16, 0, bd, filt)
         sub_lanes = [p16_new, p16_zero, p16_mvp]
         if comp:
             mv16zb = mv16b.reshape(1, bh, 2, bw, 2, 2).transpose(
@@ -686,10 +719,10 @@ class VideoEncoder:
             mvsfb = mv16zb.reshape(1, N * 4, 2)
             pc16_new = predict_inter_blocks_compound(
                 ryp, r2yp, sy0[None], sx0[None], mvsf, mvsfb, h, w, 16,
-                0, bd)
+                0, bd, filt)
             pc16_zero = predict_inter_blocks_compound(
                 ryp, r2yp, sy0[None], sx0[None], jnp.zeros_like(mvsf),
-                jnp.zeros_like(mvsfb), h, w, 16, 0, bd)
+                jnp.zeros_like(mvsfb), h, w, 16, 0, bd, filt)
             sub_lanes += [pc16_new, pc16_zero]
         extra_sub = jnp.stack(sub_lanes, 1).reshape(
             1, n_lanes, bh, bw, 4, 16, 16)
@@ -698,23 +731,21 @@ class VideoEncoder:
         y0s = (jnp.arange(Nsb) // sw * 64)[None]
         x0s = (jnp.arange(Nsb) % sw * 64)[None]
         mv64f = mv64.reshape(1, Nsb, 2)
-        p64_new = predict_inter_blocks(ryp, y0s, x0s, mv64f, h, w, 64, 0,
-                                       bd)
+        p64_new = predict_inter_blocks(ryp, y0s, x0s, mv64f, h, w, 64, 0, bd, filt)
         p64_zero = predict_inter_blocks(ryp, y0s, x0s,
                                         jnp.zeros_like(mv64f), h, w, 64,
-                                        0, bd)
+                                        0, bd, filt)
         mvp64f = mvp64.reshape(1, Nsb, 2)
-        p64_mvp = predict_inter_blocks(ryp, y0s, x0s, mvp64f, h, w, 64, 0,
-                                       bd)
+        p64_mvp = predict_inter_blocks(ryp, y0s, x0s, mvp64f, h, w, 64, 0, bd, filt)
         sb_lanes = [p64_new, p64_zero, p64_mvp]
         if comp:
             from ..ops.mc import predict_inter_blocks_compound
             mv64bf = mv64b.reshape(1, Nsb, 2)
             pc64_new = predict_inter_blocks_compound(
-                ryp, r2yp, y0s, x0s, mv64f, mv64bf, h, w, 64, 0, bd)
+                ryp, r2yp, y0s, x0s, mv64f, mv64bf, h, w, 64, 0, bd, filt)
             pc64_zero = predict_inter_blocks_compound(
                 ryp, r2yp, y0s, x0s, jnp.zeros_like(mv64f),
-                jnp.zeros_like(mv64bf), h, w, 64, 0, bd)
+                jnp.zeros_like(mv64bf), h, w, 64, 0, bd, filt)
             sb_lanes += [pc64_new, pc64_zero]
         extra_sb = jnp.stack(sb_lanes, 1).reshape(
             1, n_lanes, sh, sw, 64, 64)
@@ -866,19 +897,19 @@ class VideoEncoder:
         nmv = 4 if comp else 2
         mv_sb_cf = mv_sb_fr.reshape(1, Nsb, nmv)
         pu_sb = predict_inter_blocks(rup, y0s // 2, x0s // 2,
-                                     mv_sb_cf[..., :2], h, w, 32, 1, bd)
+                                     mv_sb_cf[..., :2], h, w, 32, 1, bd, filt)
         pv_sb = predict_inter_blocks(rvp, y0s // 2, x0s // 2,
-                                     mv_sb_cf[..., :2], h, w, 32, 1, bd)
+                                     mv_sb_cf[..., :2], h, w, 32, 1, bd, filt)
         mv_top_cf = mv_top_fr.reshape(1, N, nmv)
         pu_t = predict_inter_blocks(rup, y0c, x0c, mv_top_cf[..., :2], h,
-                                    w, CBLK, 1, bd)
+                                    w, CBLK, 1, bd, filt)
         pv_t = predict_inter_blocks(rvp, y0c, x0c, mv_top_cf[..., :2], h,
-                                    w, CBLK, 1, bd)
+                                    w, CBLK, 1, bd, filt)
         mv_sub_cf = mv_sub_fr.reshape(1, N * 4, nmv)
         pu_s = predict_inter_blocks(rup, (sy0 // 2)[None], (sx0 // 2)[None],
-                                    mv_sub_cf[..., :2], h, w, 8, 1, bd)
+                                    mv_sub_cf[..., :2], h, w, 8, 1, bd, filt)
         pv_s = predict_inter_blocks(rvp, (sy0 // 2)[None], (sx0 // 2)[None],
-                                    mv_sub_cf[..., :2], h, w, 8, 1, bd)
+                                    mv_sub_cf[..., :2], h, w, 8, 1, bd, filt)
         if comp:
             lane_tf = tunstack(lane_t, 2).reshape(1, N)
             lane_sf = tunstack(lane_s, 2).reshape(1, N * 4)
@@ -886,26 +917,26 @@ class VideoEncoder:
             cb = (lane_bf >= 3)
             puc_sb = predict_inter_blocks_compound(
                 rup, r2up, y0s // 2, x0s // 2, mv_sb_cf[..., :2],
-                mv_sb_cf[..., 2:], h, w, 32, 1, bd)
+                mv_sb_cf[..., 2:], h, w, 32, 1, bd, filt)
             pvc_sb = predict_inter_blocks_compound(
                 rvp, r2vp, y0s // 2, x0s // 2, mv_sb_cf[..., :2],
-                mv_sb_cf[..., 2:], h, w, 32, 1, bd)
+                mv_sb_cf[..., 2:], h, w, 32, 1, bd, filt)
             pu_sb = jnp.where(cb[..., None, None], puc_sb, pu_sb)
             pv_sb = jnp.where(cb[..., None, None], pvc_sb, pv_sb)
             ct = (lane_tf >= 3)
             cs = (lane_sf >= 3)
             puc_t = predict_inter_blocks_compound(
                 rup, r2up, y0c, x0c, mv_top_cf[..., :2],
-                mv_top_cf[..., 2:], h, w, CBLK, 1, bd)
+                mv_top_cf[..., 2:], h, w, CBLK, 1, bd, filt)
             pvc_t = predict_inter_blocks_compound(
                 rvp, r2vp, y0c, x0c, mv_top_cf[..., :2],
-                mv_top_cf[..., 2:], h, w, CBLK, 1, bd)
+                mv_top_cf[..., 2:], h, w, CBLK, 1, bd, filt)
             puc_s = predict_inter_blocks_compound(
                 rup, r2up, (sy0 // 2)[None], (sx0 // 2)[None],
-                mv_sub_cf[..., :2], mv_sub_cf[..., 2:], h, w, 8, 1, bd)
+                mv_sub_cf[..., :2], mv_sub_cf[..., 2:], h, w, 8, 1, bd, filt)
             pvc_s = predict_inter_blocks_compound(
                 rvp, r2vp, (sy0 // 2)[None], (sx0 // 2)[None],
-                mv_sub_cf[..., :2], mv_sub_cf[..., 2:], h, w, 8, 1, bd)
+                mv_sub_cf[..., :2], mv_sub_cf[..., 2:], h, w, 8, 1, bd, filt)
             pu_t = jnp.where(ct[..., None, None], puc_t, pu_t)
             pv_t = jnp.where(ct[..., None, None], pvc_t, pv_t)
             pu_s = jnp.where(cs[..., None, None], puc_s, pu_s)
@@ -1081,6 +1112,7 @@ class VideoEncoder:
                          primary_ref_frame=primary_ref,
                          filter_level=(lf[0], lf[1]),
                          filter_level_u=lf[2], filter_level_v=lf[3],
+                         interpolation_filter=filt,
                          tile_cols_log2=T.bit_length() - 1,
                          lr_frame_types=lr_types, ccso=ccso_info,
                          **cdef_kw, **(hdr_extra or {}))

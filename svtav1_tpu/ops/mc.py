@@ -224,10 +224,10 @@ def _win_np(ref_padded, iy, ix, bs, pad):
 
 
 def _predict_mid_np(ref_padded, y0, x0, mv8, frame_h, frame_w, bs,
-                    ss, bd, pad):
+                    ss, bd, pad, filt=0):
     """Compound intermediate for one block (numpy twin of
     interp_block_dyn_mid)."""
-    kern = kernels(0)
+    kern = kernels(filt)
     bs_l = bs << ss
     ly0, lx0 = y0 << ss, x0 << ss
     q4r = int(mv8[0]) * (1 << (1 - ss))
@@ -255,12 +255,12 @@ def _predict_mid_np(ref_padded, y0, x0, mv8, frame_h, frame_w, bs,
 
 def predict_inter_block_np_compound(ref0p, ref1p, y0, x0, mv8a, mv8b,
                                     frame_h, frame_w, bs, ss=0, bd=8,
-                                    pad=MV_PRED_PAD):
+                                    pad=MV_PRED_PAD, filt=0):
     """Host twin of predict_inter_blocks_compound (COMPOUND_AVERAGE)."""
     r0 = _predict_mid_np(ref0p, y0, x0, mv8a, frame_h, frame_w, bs, ss,
-                         bd, pad)
+                         bd, pad, filt)
     r1 = _predict_mid_np(ref1p, y0, x0, mv8b, frame_h, frame_w, bs, ss,
-                         bd, pad)
+                         bd, pad, filt)
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
     round_offset = ((1 << (offset_bits - COMPOUND_ROUND1)) +
                     (1 << (offset_bits - COMPOUND_ROUND1 - 1)))

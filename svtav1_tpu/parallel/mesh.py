@@ -106,6 +106,95 @@ def sharded_pipeline_step(mesh: Mesh):
     return recon, bits
 
 
+def _cert_clip(w, h, n, seed=0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        y = np.clip(110 + 70 * np.sin((xx + 2.5 * t) / 19.0) +
+                    50 * np.cos((yy + 1.5 * t) / 13.0) +
+                    rng.randint(-3, 4, (h, w)), 0, 255).astype(np.uint8)
+        u = np.clip(120 + 40 * np.sin((xx[::2, ::2] + t) / 23.0),
+                    0, 255).astype(np.uint8)
+        v = np.clip(135 + 35 * np.cos((yy[::2, ::2] + 0.5 * t) / 27.0),
+                    0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def sharded_video_encode_bytes(mesh: Mesh, shard: bool = True,
+                               w: int = 64, h: int = 64,
+                               keyint: int = 3, n_gops: int = 2,
+                               pyramid: bool = False,
+                               part_search: bool = False) -> bytes:
+    """Multi-GOP video-path sharding certificate: keyframe-aligned chunks
+    are provably independent (every key frame resets the CDF chain and the
+    DPB), so GOPs shard over the mesh's "data" axis — the picture/GOP
+    parallelism row of SURVEY §2.9, the TPU mapping of the reference's
+    picture-parallel process fabric (EbPictureDecisionProcess.c mini-GoP
+    over pthreads).  Each chunk's device work is pinned to its own mesh
+    device and the chunks encode concurrently on host threads; the
+    concatenated bitstream must be BYTE-IDENTICAL to the serial
+    single-device encode.  A psum over per-GOP byte counts rides the mesh
+    as the frame-parallel rate-control aggregation (the reference's
+    RC feedback reduction)."""
+    from ..encoder.intra_encoder import EncoderConfig
+    from ..encoder.video_encoder import VideoEncoder
+
+    frames = _cert_clip(w, h, keyint * n_gops)
+    chunks = [frames[i * keyint:(i + 1) * keyint] for i in range(n_gops)]
+    cfg = EncoderConfig(w, h, qindex=110, part_search=part_search)
+
+    def enc_chunk(gi, chunk, dev):
+        enc = VideoEncoder(cfg, keyint=keyint, pyramid=pyramid,
+                           gop=keyint)
+        if gi > 0:
+            enc.mark_continuation()   # seq header is emitted once
+        ctx = jax.default_device(dev) if dev is not None else _nullctx()
+        with ctx:
+            ps, _ = enc.encode_frames(chunk)
+            p2, _ = enc.flush()
+        return b"".join(ps) + b"".join(p2)
+
+    if not shard:
+        # serial oracle: ONE encoder over the whole clip — key frames at
+        # chunk boundaries reset all coding state, so this must equal the
+        # sharded concatenation bit for bit
+        enc = VideoEncoder(cfg, keyint=keyint, pyramid=pyramid,
+                           gop=keyint)
+        ps, _ = enc.encode_frames(frames)
+        p2, _ = enc.flush()
+        return b"".join(ps) + b"".join(p2)
+
+    from concurrent.futures import ThreadPoolExecutor
+    devs = list(mesh.devices.flat)
+    assign = [devs[i % len(devs)] for i in range(n_gops)]
+    with ThreadPoolExecutor(max_workers=n_gops) as ex:
+        outs = list(ex.map(enc_chunk, range(n_gops), chunks, assign))
+
+    # cross-shard RC reduction over the mesh (psum on the data axis)
+    from jax.experimental.shard_map import shard_map
+    nd = mesh.devices.size
+    bits = np.zeros(nd, np.int32)
+    bits[:n_gops] = [len(o) * 8 for o in outs]
+    flat = Mesh(mesh.devices.reshape(-1), ("gop",))
+    total = jax.jit(shard_map(
+        lambda b: jax.lax.psum(jnp.sum(b), "gop"),
+        mesh=flat, in_specs=P("gop"), out_specs=P()))(
+            jax.device_put(jnp.asarray(bits), NamedSharding(flat,
+                                                            P("gop"))))
+    assert int(total) == sum(len(o) * 8 for o in outs)
+    return b"".join(outs)
+
+
+class _nullctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
 def sharded_tile_encode_bytes(mesh: Mesh, n_tiles: int = None,
                               shard: bool = True) -> bytes:
     """Encode one key frame split into tile columns, with the tile axis
