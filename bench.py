@@ -5,19 +5,37 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 Primary metric: honest END-TO-END all-intra 1080p encode fps — source
 frames in, finished IVF-ready AV1 payloads out, including host entropy
 coding (native C tile coder, frame-parallel threads) overlapped with the
-device wavefront via the same async pipeline the CLI uses.  The device-only
-wavefront fps (the round-1 metric) is reported alongside in the same JSON
-object and on stderr.
+device wavefront.  The device-only wavefront fps (the round-1 metric) is
+reported alongside in the same JSON object and on stderr.
+
+Robustness rules learned from round 3 (BENCH_r03.json rc=124):
+  - NO shared persistent compile cache: /tmp/jax_cache_svtav1 accumulated
+    XLA AOT artifacts from a different machine and poisoned the run
+    (cpu_aot_loader machine-feature mismatch, 552 -> 3.6 fps).
+  - A SIGALRM budget (SVT_TPU_BENCH_BUDGET_S, default 450s) prints the
+    partial JSON and exits 0 — the driver must always get a number.
+  - The device-only bench shares the e2e path's jit signatures so the
+    compile cost is paid once.
 
 vs_baseline stays 0.0: the reference repo publishes no absolute fps table
-(BASELINE.md) — the anchor comparison lives in ANCHOR.md (quality) instead.
+(BASELINE.md) — the anchor comparison lives in ANCHOR.md (quality).
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+RESULT = {"metric": "1080p_intra_e2e_fps", "value": 0.0,
+          "unit": "frames/s/chip", "vs_baseline": 0.0}
+
+
+def _emit_and_exit(*_a):
+    print(json.dumps(RESULT), flush=True)
+    os._exit(0)
 
 
 def synth_frames(width, height, n, seed=0):
@@ -37,68 +55,56 @@ def synth_frames(width, height, n, seed=0):
     return frames
 
 
-def bench_e2e_intra(width=1920, height=1080, batch=4, nframes=16):
-    """End-to-end: frames → AV1 payloads, device/host pipelined.
-    TRUE 1080p: the stream signals 1920x1080 (SB-padded internally,
-    m=14 bottom-edge geometry — encoder/geometry.py)."""
+def _make_enc(width=1920, height=1080):
     from svtav1_tpu.encoder.intra_encoder import EncoderConfig, IntraEncoder
-
-    frames = synth_frames(width, height, nframes)
-    # flat-32 speed path: the native C tile coder does not handle the
-    # partition tree yet, so the throughput metric measures part_search=off
-    enc = IntraEncoder(EncoderConfig(width, height, qindex=100,
-                                     part_search=False))
-
-    def run():
-        total = 0
-        pending = None
-        for i in range(0, nframes, batch):
-            b = frames[i:i + batch]
-            dev = enc.device_encode(b)
-            if pending is not None:
-                payloads, _ = enc.host_finish(pending)
-                total += sum(len(p) for p in payloads)
-            pending = dev
-        payloads, _ = enc.host_finish(pending)
-        total += sum(len(p) for p in payloads)
-        return total
-
-    t0 = time.perf_counter()
-    run()                      # compile + warm
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    nbytes = run()
-    dt = time.perf_counter() - t0
-    fps = nframes / dt
-    print(f"e2e: compile+warm {compile_s:.1f}s, steady {dt:.2f}s for "
-          f"{nframes} frames, {nbytes} bytes", file=sys.stderr)
-    return fps
+    # flat-32 speed path: the native C tile coder covers it end to end
+    return IntraEncoder(EncoderConfig(width, height, qindex=100,
+                                      part_search=False))
 
 
-def bench_device_only(width=1920, height=1088, batch=4, n_iter=3):
+def bench_device_only(enc, frames, batch=4, n_iter=4):
+    """Device wavefront fps (r1-comparable): blocks on the device arrays,
+    no host transfer.  Shares jit signatures with the e2e run."""
     import jax
-    from svtav1_tpu.encoder.wavefront import encode_plane_wavefront
-    from svtav1_tpu.encoder.intra_encoder import CAND_MODES
-    from svtav1_tpu.ops import intra
-    from svtav1_tpu.spec.txfm import TX_16X16, TX_32X32
-
-    fr = synth_frames(width, height, batch)
-    y = np.stack([f[0] for f in fr])
-    u = np.stack([f[1] for f in fr])
-    v = np.stack([f[2] for f in fr])
-
-    def run():
-        ym = encode_plane_wavefront(y, 32, TX_32X32, 100, CAND_MODES)
-        um = encode_plane_wavefront(u, 16, TX_16X16, 100, (intra.DC_PRED,))
-        vm = encode_plane_wavefront(v, 16, TX_16X16, 100, (intra.DC_PRED,))
-        jax.block_until_ready((ym, um, vm))
-
-    run()
+    def outs(d):
+        return (d["y_pk"][0], d["uv_pk"][0], d["y_rec"], d["uv_rec"])
+    jax.block_until_ready(outs(enc.device_encode(frames[:batch])))  # warm
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        run()
+        jax.block_until_ready(outs(enc.device_encode(frames[:batch])))
     dt = (time.perf_counter() - t0) / n_iter
     return batch / dt
+
+
+def bench_e2e_intra(enc, frames, batch=4):
+    """End-to-end: frames → AV1 payloads, device/host pipelined.
+    TRUE 1080p (SB-padded internally, m=14 bottom-edge geometry).
+
+    Single-pass steady-state measurement: per-batch timestamps, first
+    batch (jit/host warm) excluded — a separate warm pass would double
+    the budget for the same number."""
+    nframes = len(frames)
+    total = 0
+    pending = None
+    marks = [time.perf_counter()]
+    for i in range(0, nframes, batch):
+        dev = enc.device_encode(frames[i:i + batch])
+        if pending is not None:
+            payloads, _ = enc.host_finish(pending)
+            total += sum(len(p) for p in payloads)
+            marks.append(time.perf_counter())
+        pending = dev
+    payloads, _ = enc.host_finish(pending)
+    total += sum(len(p) for p in payloads)
+    marks.append(time.perf_counter())
+    # steady = batches after the first finished host_finish
+    steady_s = marks[-1] - marks[1]
+    steady_frames = nframes - batch
+    fps = steady_frames / steady_s if steady_s > 0 else 0.0
+    print(f"e2e: warm-batch {marks[1] - marks[0]:.1f}s, steady "
+          f"{steady_s:.2f}s for {steady_frames} frames, {total} bytes",
+          file=sys.stderr)
+    return fps
 
 
 def bench_pyramid(width=1920, height=1080, nframes=8, gop=8):
@@ -129,38 +135,29 @@ def bench_pyramid(width=1920, height=1080, nframes=8, gop=8):
 
 
 def main():
+    budget = int(os.environ.get("SVT_TPU_BENCH_BUDGET_S", "450"))
+    signal.signal(signal.SIGALRM, _emit_and_exit)
+    signal.alarm(budget)
     try:
-        import jax
-        try:
-            jax.config.update("jax_compilation_cache_dir",
-                              "/tmp/jax_cache_svtav1")
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 2.0)
-        except Exception:
-            pass
-        e2e = bench_e2e_intra()
-        dev = bench_device_only()
+        enc = _make_enc()
+        frames = synth_frames(1920, 1080, 16)
+        dev = bench_device_only(enc, frames)
+        RESULT["device_only_fps"] = round(dev, 3)
         print(f"device-only wavefront: {dev:.1f} fps", file=sys.stderr)
+        e2e = bench_e2e_intra(enc, frames)
+        RESULT["value"] = round(e2e, 3)
         try:
             pyr = bench_pyramid()
+            RESULT["1080p_pyramid_e2e_fps"] = round(pyr, 3)
         except Exception:
             import traceback
             traceback.print_exc()
-            pyr = 0.0
-        result = {
-            "metric": "1080p_intra_e2e_fps",
-            "value": round(e2e, 3),
-            "unit": "frames/s/chip",
-            "vs_baseline": 0.0,
-            "device_only_fps": round(dev, 3),
-            "1080p_pyramid_e2e_fps": round(pyr, 3),
-        }
     except Exception as e:  # keep the driver fed even mid-build
         import traceback
         traceback.print_exc()
-        result = {"metric": "bench_error", "value": 0, "unit": str(e)[:200],
-                  "vs_baseline": 0.0}
-    print(json.dumps(result))
+        RESULT.setdefault("error", str(e)[:200])
+    signal.alarm(0)
+    print(json.dumps(RESULT), flush=True)
 
 
 if __name__ == "__main__":

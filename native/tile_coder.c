@@ -406,7 +406,8 @@ long encode_tile_intra(
     const int32_t *y_lev,    /* [bh][bw][32][32] */
     const int32_t *u_lev,    /* [ch][cw][16][16] */
     const int32_t *v_lev,
-    Tables *t, int true_h) {
+    Tables *t, int true_h,
+    const int32_t *uv_modes  /* [bh][bw] (NULL -> DC) */) {
     g_update = update_cdf;
     if (true_h <= 0) true_h = height;
     int mi_cols = width / 4;
@@ -495,8 +496,13 @@ long encode_tile_intra(
                 if (y_mode >= 1 && y_mode <= 8)
                     enc_symbol(&e, 3 /*delta 0*/,
                                t->angle_delta + (y_mode - 1) * 8, 7);
-                /* uv mode: DC, cfl allowed */
-                enc_symbol(&e, 0, t->uv_mode + (1 * 13 + y_mode) * 15, 14);
+                /* uv mode (searched; cfl-allowed 14-symbol CDF) */
+                int uv_mode = uv_modes ? uv_modes[br * bw + bc] : 0;
+                enc_symbol(&e, uv_mode,
+                           t->uv_mode + (1 * 13 + y_mode) * 15, 14);
+                if (uv_mode >= 1 && uv_mode <= 8)
+                    enc_symbol(&e, 3 /*delta 0*/,
+                               t->angle_delta + (uv_mode - 1) * 8, 7);
 
                 if (!skip) {
                     for (int plane = 0; plane < 3; plane++) {

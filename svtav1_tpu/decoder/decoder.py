@@ -635,6 +635,8 @@ class Decoder:
 
         y_mode = 0
         angle_delta = 0
+        uv_mode = 0
+        uv_angle_delta = 0
         mv = (0, 0)
         is_inter = False
         if is_inter_frame:
@@ -755,7 +757,11 @@ class Decoder:
             t = cdf.uv_mode_cdf[int(cfl)][y_mode]
             uv_mode = dec.decode_symbol(t, nsyms)
             cdf.update(t, uv_mode, nsyms)
-            _need(uv_mode == 0, "UV DC subset")
+            _need(uv_mode < 13, "CfL not emitted by this encoder")
+            if 1 <= uv_mode <= 8:
+                t = cdf.angle_delta_cdf[uv_mode - 1]
+                uv_angle_delta = dec.decode_symbol(t) - 3
+                cdf.update(t, uv_angle_delta + 3)
             grid.set_block(mi_r, mi_c, bw4, bw4, MV.INTRA_FRAME, y_mode)
             st.mode_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = y_mode
 
@@ -842,8 +848,9 @@ class Decoder:
                     filt=fr.interpolation_filter)
             else:
                 pred = self._predict(rec, y0, x0, pbs,
-                                     y_mode if plane == 0 else 0,
-                                     angle_delta if plane == 0 else 0,
+                                     y_mode if plane == 0 else uv_mode,
+                                     angle_delta if plane == 0
+                                     else uv_angle_delta,
                                      br, bc, seq, bs,
                                      ha=have_above, hl=have_left,
                                      tile_bw=st.mi_cols_t * 4 // 32,

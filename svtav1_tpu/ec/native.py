@@ -35,6 +35,9 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
+    src = _NATIVE_DIR / "tile_coder.c"
+    if _SO.exists() and _SO.stat().st_mtime < src.stat().st_mtime:
+        _SO.unlink()                     # stale build
     if not _SO.exists():
         _SO.parent.mkdir(parents=True, exist_ok=True)
         r = subprocess.run(
@@ -49,7 +52,8 @@ def _load():
         ctypes.c_int,
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
-        ctypes.POINTER(_Tables), ctypes.c_int]
+        ctypes.POINTER(_Tables), ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32)]
     _lib = lib
     return lib
 
@@ -65,7 +69,7 @@ def available() -> bool:
 def encode_tile_intra(width: int, height: int, update_cdf: bool,
                       y_modes: np.ndarray, y_lev: np.ndarray,
                       u_lev: np.ndarray, v_lev: np.ndarray, cdf,
-                      true_h: int = 0) -> bytes:
+                      true_h: int = 0, uv_modes: np.ndarray = None) -> bytes:
     """cdf: spec.cdf.CdfContext (its tables are copied, not mutated).
     true_h: signaled frame height when `height` is the SB-padded plane
     height (0 → equal); bottom-edge geometry per encoder/geometry.py."""
@@ -108,13 +112,15 @@ def encode_tile_intra(width: int, height: int, update_cdf: bool,
     )
     cap = width * height * 4 + (1 << 16)
     dst = ctypes.create_string_buffer(cap)
+    if uv_modes is None:
+        uv_modes = np.zeros_like(np.ascontiguousarray(y_modes, np.int32))
     n = lib.encode_tile_intra(
         dst, cap, width, height, int(update_cdf),
         np.ascontiguousarray(y_modes, np.int32),
         np.ascontiguousarray(y_lev, np.int32),
         np.ascontiguousarray(u_lev, np.int32),
         np.ascontiguousarray(v_lev, np.int32), ctypes.byref(t),
-        int(true_h))
+        int(true_h), np.ascontiguousarray(uv_modes, np.int32))
     if n <= 0:
         raise RuntimeError("native tile coder failed")
     return dst.raw[:n]

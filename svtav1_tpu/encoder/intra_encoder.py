@@ -154,22 +154,31 @@ class IntraEncoder:
         y_mi, y_lev, y_rec = encode_plane_wavefront(
             yb, BLK, TX_32X32, cfg.qindex, CAND_MODES, bd,
             tuple(cfg.angle_deltas), valid_h=vh)
-        u_mi, u_lev, u_rec = encode_plane_wavefront(
-            ub, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd,
-            valid_h=vhc)
-        v_mi, v_lev, v_rec = encode_plane_wavefront(
-            vb, CBLK, TX_16X16, cfg.qindex, (intra.DC_PRED,), bd,
-            valid_h=vhc)
+        # U and V ride one wavefront on the batch axis (same modes/shape:
+        # halves the sequential chroma scans); paired=True makes each
+        # (u,v) pair agree on ONE uv_mode — full chroma mode decision
+        # (the reference's chroma MD, EbModeDecision.c uv search; round 3
+        # hard-coded DC here)
+        uvb = np.concatenate([ub, vb])
+        uv_mi, uv_lev, uv_rec = encode_plane_wavefront(
+            uvb, CBLK, TX_16X16, cfg.qindex, CAND_MODES, bd,
+            valid_h=vhc, paired=True, kf="uv")
         lf = self.lf_levels()
         if lf[0] or lf[1]:
             y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1],
                                           bd=bd, valid_h=vh)
-            u_rec = deblock_plane_uniform(u_rec, CBLK, 6, lf[2], lf[2],
-                                          bd=bd, valid_h=vhc)
-            v_rec = deblock_plane_uniform(v_rec, CBLK, 6, lf[3], lf[3],
-                                          bd=bd, valid_h=vhc)
-        return (len(frames), y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec,
-                frames)
+            uv_rec = deblock_plane_uniform(uv_rec, CBLK, 6, lf[2], lf[2],
+                                           bd=bd, valid_h=vhc)
+        # wire format: levels go down scan-packed (adaptive int16 prefix),
+        # recon as the narrow pixel dtype — the tunnel moves ~30MB/s, so
+        # dense int32 transfers were the round-3 e2e bottleneck (xfer.py)
+        from .xfer import scan_pack
+        pix = jnp.uint8 if bd == 8 else jnp.uint16
+        return {"n": len(frames), "y_mi": y_mi, "uv_mi": uv_mi,
+                "y_pk": scan_pack(y_lev, TX_32X32, DCT_DCT),
+                "uv_pk": scan_pack(uv_lev, TX_16X16, DCT_DCT),
+                "y_rec": y_rec.astype(pix), "uv_rec": uv_rec.astype(pix),
+                "frames": frames}
 
     def _device_encode_part(self, yb, ub, vb, frames):
         """Partition-search device stage (32 NONE vs SPLIT 16).  Tile
@@ -421,22 +430,34 @@ class IntraEncoder:
 
     def host_finish(self, dev):
         """Entropy-code a device batch (blocks on the device arrays)."""
-        if dev and dev[0] == "part":
+        if isinstance(dev, tuple) and dev and dev[0] == "part":
             return self._host_finish_part(dev)
         cfg = self.cfg
-        n, y_mi, y_lev, u_lev, v_lev, y_rec, u_rec, v_rec, frames = dev
-        y_mi = np.asarray(y_mi)
-        y_lev, u_lev, v_lev = map(np.asarray, (y_lev, u_lev, v_lev))
-        y_rec, u_rec, v_rec = map(np.asarray, (y_rec, u_rec, v_rec))
+        n, y_mi, frames = dev["n"], np.asarray(dev["y_mi"]), dev["frames"]
+        from .xfer import fetch_levels
+        # adaptive two-tier fetch: tiny eob read sizes an int16 prefix for
+        # everyone + a dense gather of the few overflow blocks (xfer.py)
+        y_lev = fetch_levels(dev["y_pk"][0], dev["y_pk"][1], TX_32X32,
+                             DCT_DCT, (BLK, BLK))
+        uv_lev = fetch_levels(dev["uv_pk"][0], dev["uv_pk"][1], TX_16X16,
+                              DCT_DCT, (CBLK, CBLK))
+        u_lev, v_lev = uv_lev[:n], uv_lev[n:]
+        # recon stays on device (narrow dtype); callers that need host
+        # pixels (e.g. --stat-report PSNR) convert on demand
+        y_rec = dev["y_rec"]
+        u_rec, v_rec = dev["uv_rec"][:n], dev["uv_rec"][n:]
         cands = expand_candidates(CAND_MODES, tuple(cfg.angle_deltas))
         cand_mode = np.array([c[0] for c in cands], np.int32)
         cand_delta = np.array([c[1] for c in cands], np.int32)
+        cands_uv = expand_candidates(CAND_MODES, (0,))
+        cand_mode_uv = np.array([c[0] for c in cands_uv], np.int32)
+        uv_mi = np.asarray(dev["uv_mi"])[:n]     # halves agree (paired)
 
         def code_one(b):
             y_modes = cand_mode[y_mi[b]]
             y_deltas = cand_delta[y_mi[b]]
             return self._encode_tile(y_modes, y_lev[b], u_lev[b], v_lev[b],
-                                     None, y_deltas)
+                                     cand_mode_uv[uv_mi[b]], y_deltas)
 
         # frames have independent CDF contexts → per-frame tile coding runs
         # in parallel host threads (the native coder releases the GIL; the
@@ -484,13 +505,15 @@ class IntraEncoder:
         cfg = self.cfg
         if y_deltas is None:
             y_deltas = np.zeros_like(y_modes)
+        if uv_modes is None:
+            uv_modes = np.zeros_like(y_modes)
         if getattr(self, "use_native", True) and not y_deltas.any():
             try:
                 from ..ec import native
                 return native.encode_tile_intra(
                     cfg.width, self.ph, cfg.cdf_update, y_modes, y_levels,
                     u_levels, v_levels, CdfContext(cfg.qindex),
-                    true_h=cfg.height)
+                    true_h=cfg.height, uv_modes=uv_modes)
             except Exception:
                 self.use_native = False
         mi_cols = cfg.width // 4
@@ -560,7 +583,8 @@ class IntraEncoder:
         have_left = mi_c > 0
 
         y_mode = int(y_modes[br, bc])
-        uv_mode = intra.DC_PRED
+        uv_mode = (int(uv_modes[br, bc]) if uv_modes is not None
+                   else intra.DC_PRED)
         y_lev = y_levels[br, bc]
         u_lev = u_levels[br, bc]
         v_lev = v_levels[br, bc]

@@ -15,6 +15,13 @@ This replaces the reference's EncDec segment wavefront
 (EbEncDecProcess.c:3266); picture batch = the reference's picture
 parallelism (SURVEY.md §2.9).  All candidate modes are evaluated with the
 normative integer ops, so the selected levels/recon are bit-final.
+
+Throughput note (round 4): every candidate — intra modes and precomputed
+inter predictions — is STACKED into one [n_cand * lanes, bs, bs] tensor and
+pushed through a single fwd-txfm/quant/recon chain per z-position, instead
+of one unrolled chain per candidate.  The transform matmuls then fill the
+MXU and the scan body stays small; selection is argmin over the candidate
+axis (first-minimum = the old loop's tie-break).
 """
 
 from __future__ import annotations
@@ -113,7 +120,12 @@ def intra_mode_rate_table(cands, qindex: int, kf: bool = True) -> np.ndarray:
     cdf = CdfContext(qindex)
     out = np.zeros(len(cands), np.float32)
     for i, (mode, delta) in enumerate(cands):
-        if kf:
+        if kf == "uv":
+            # uv_mode CDF (cfl_allowed ctx, y_mode=DC column): the paired
+            # chroma wavefront's signaling cost (EbMdRateEstimation.c
+            # intra_uv_mode_fac_bits)
+            bits = _cdf_bits(cdf.uv_mode_cdf[1][0], mode)
+        elif kf:
             bits = _cdf_bits(cdf.kf_y_cdf[0][0], mode)
         else:
             bits = _cdf_bits(cdf.y_mode_cdf[3], mode)
@@ -148,19 +160,38 @@ def rd_params(qindex: int, bd: int, cands, kf: bool = True):
 
 def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                            modes: tuple = DEFAULT_MODES, bd: int = 8,
-                           angle_deltas: tuple = (0,), valid_h: int = None):
+                           angle_deltas: tuple = (0,), valid_h: int = None,
+                           paired: bool = False, kf: bool = True):
+    """paired=True: src stacks two planes [U...V...] on the batch axis and
+    each (u,v) pair must pick the SAME candidate (one uv_mode is signaled
+    for both chroma planes, spec 5.11.5) — costs sum across the pair."""
     cands = expand_candidates(modes, angle_deltas)
-    rd = rd_params(qindex, bd, cands, kf=True)
+    rd = rd_params(qindex, bd, cands, kf=kf)
     return _wavefront_impl(src, rd, bs, tx_size, modes, bd, angle_deltas,
-                           valid_h)
+                           valid_h, paired)
+
+
+def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
+                                 extra_preds, extra_rate, extra_ok,
+                                 intra_ok, n_extra: int,
+                                 modes: tuple = DEFAULT_MODES, bd: int = 8,
+                                 angle_deltas: tuple = (0,),
+                                 valid_h: int = None,
+                                 paired: bool = False):
+    cands = expand_candidates(modes, angle_deltas)
+    rd = rd_params(qindex, bd, cands, kf=False)
+    return _wavefront_mixed_impl(src, rd, extra_preds, extra_rate,
+                                 extra_ok, intra_ok, bs, tx_size, n_extra,
+                                 modes, bd, angle_deltas, valid_h, paired)
 
 
 @partial(jax.jit,
          static_argnames=("bs", "tx_size", "modes", "bd", "angle_deltas",
-                          "valid_h"))
+                          "valid_h", "paired"))
 def _wavefront_impl(src, rd, bs: int, tx_size: int,
                     modes: tuple = DEFAULT_MODES, bd: int = 8,
-                    angle_deltas: tuple = (0,), valid_h: int = None):
+                    angle_deltas: tuple = (0,), valid_h: int = None,
+                    paired: bool = False):
     """src [B, h, w] uint8/int32 (h, w multiples of 2*bs) →
     (cand_idx [B, bh, bw], levels [B, bh, bw, bs, bs], recon [B, h, w]).
 
@@ -172,6 +203,38 @@ def _wavefront_impl(src, rd, bs: int, tx_size: int,
     maxY = MiRows*4-1 with replication of the last in-frame pixel), so
     blocks overhanging an SB-padded bottom predict bit-identically to a
     conformant decoder at the true frame size."""
+    return _wavefront_body(src, rd, None, None, None, None, bs, tx_size, 0,
+                           modes, bd, angle_deltas, valid_h, paired)
+
+
+@partial(jax.jit,
+         static_argnames=("bs", "tx_size", "modes", "bd", "angle_deltas",
+                          "n_extra", "valid_h", "paired"))
+def _wavefront_mixed_impl(src, rd, extra_preds, extra_rate, extra_ok,
+                          intra_ok, bs: int, tx_size: int, n_extra: int,
+                          modes: tuple = DEFAULT_MODES, bd: int = 8,
+                          angle_deltas: tuple = (0,), valid_h: int = None,
+                          paired: bool = False):
+    """Wavefront mode decision with precomputed non-intra candidates
+    (the inter path of the EncDec loop, EbProductCodingLoop.c MDSx inter
+    classes → here dense candidate tensors evaluated alongside intra).
+
+    extra_preds [B, nE, bh, bw, bs, bs] int32 — bit-final predictions
+    (e.g. NEWMV / GLOBALMV motion compensation); extra_rate [B, nE, bh, bw]
+    float32 — rate estimate (bits); extra_ok [B, nE, bh, bw] bool;
+    intra_ok [B, bh, bw] bool.  Returns (cand_idx, levels, recon) where
+    cand_idx < n_intra selects the intra candidate list and cand_idx >=
+    n_intra selects extra candidate (cand_idx - n_intra).
+
+    valid_h: true frame height — see _wavefront_impl."""
+    return _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok,
+                           intra_ok, bs, tx_size, n_extra, modes, bd,
+                           angle_deltas, valid_h, paired)
+
+
+def _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok, intra_ok,
+                    bs: int, tx_size: int, n_extra: int, modes, bd: int,
+                    angle_deltas, valid_h, paired: bool = False):
     dqdc, dqac, lam, mode_rate = rd
     B, h, w = src.shape
     vh = h if valid_h is None else valid_h
@@ -181,6 +244,8 @@ def _wavefront_impl(src, rd, bs: int, tx_size: int,
     src = src.astype(jnp.int32)
     base = 1 << (bd - 1)
     cands = expand_candidates(modes, angle_deltas)
+    n_intra = len(cands)
+    BIG = jnp.float32(3e38)
 
     ar = jnp.arange(bs)
 
@@ -232,7 +297,7 @@ def _wavefront_impl(src, rd, bs: int, tx_size: int,
 
         blocks = gather_blocks(src, y, x)                # [B, D, bs, bs]
 
-        # flatten batch*lane for the mode loop
+        # flatten batch*lane for the candidate stack
         fb = lambda t: t.reshape((B * D,) + t.shape[2:])
         f_src, f_above, f_left, f_corner = map(
             fb, (blocks, above, left, corner))
@@ -240,7 +305,14 @@ def _wavefront_impl(src, rd, bs: int, tx_size: int,
         f_ha = jnp.broadcast_to(ha1, (B, D)).reshape(-1)
         f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
 
-        best_cost = best_mi = best_lev = best_rec = None
+        # --- candidate stack: [C, B*D, bs, bs] preds + [C, B*D] rate/ok
+        preds = []
+        rates = []
+        oks = []
+        if intra_ok is None:
+            f_iok = None
+        else:
+            f_iok = intra_ok[:, rs, cs].reshape(-1)      # [B*D]
         for mi, (mode, delta) in enumerate(cands):
             if mode == intra.DC_PRED:
                 p = [intra.dc_pred(f_above, f_left, a, l, bd)
@@ -257,26 +329,45 @@ def _wavefront_impl(src, rd, bs: int, tx_size: int,
                                f_corner, bs, bd)
             else:
                 pred = intra.predict(mode, f_above, f_left, f_corner)
-            resid = f_src - pred
-            coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, bd)
-            lev = quantize_dq(coeff, tx_size, dqdc, dqac, bd)
-            dq = dequantize_dq(lev, tx_size, dqdc, dqac, bd)
-            recb = add_residual_clip(pred, inv_txfm2d(dq, tx_size, DCT_DCT,
-                                                      bd), bd)
-            sse = jnp.sum((f_src - recb) ** 2, axis=(-1, -2)).astype(
-                jnp.float32)
-            cost = sse + lam * (mode_rate[mi] + _resid_bits(lev, bs))
-            if best_cost is None:
-                best_cost = cost
-                best_mi = jnp.zeros_like(cost, jnp.int32)
-                best_lev, best_rec = lev, recb
-            else:
-                take = cost < best_cost
-                best_cost = jnp.where(take, cost, best_cost)
-                best_mi = jnp.where(take, mi, best_mi)
-                t3 = take[:, None, None]
-                best_lev = jnp.where(t3, lev, best_lev)
-                best_rec = jnp.where(t3, recb, best_rec)
+            preds.append(pred)
+            rates.append(jnp.broadcast_to(mode_rate[mi], (B * D,)))
+            oks.append(f_iok if f_iok is not None else None)
+        for e in range(n_extra):
+            preds.append(fb(extra_preds[:, e][:, rs, cs]))
+            rates.append(extra_rate[:, e][:, rs, cs].reshape(-1))
+            oks.append(extra_ok[:, e][:, rs, cs].reshape(-1))
+
+        C = len(preds)
+        pred_s = jnp.stack(preds)                        # [C, BD, bs, bs]
+        rate_s = jnp.stack(rates)                        # [C, BD]
+        flat = pred_s.reshape(C * B * D, bs, bs)
+        resid = jnp.tile(f_src, (C, 1, 1)) - flat
+        coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, bd)
+        lev = quantize_dq(coeff, tx_size, dqdc, dqac, bd)
+        dq = dequantize_dq(lev, tx_size, dqdc, dqac, bd)
+        recb = add_residual_clip(flat, inv_txfm2d(dq, tx_size, DCT_DCT, bd),
+                                 bd)
+        sse = jnp.sum((jnp.tile(f_src, (C, 1, 1)) - recb) ** 2,
+                      axis=(-1, -2)).astype(jnp.float32).reshape(C, B * D)
+        cost = sse + lam * (rate_s +
+                            _resid_bits(lev, bs).reshape(C, B * D))
+        if any(o is not None for o in oks):
+            ok_s = jnp.stack([jnp.ones((B * D,), bool) if o is None else o
+                              for o in oks])
+            cost = jnp.where(ok_s, cost, BIG)
+        if paired:
+            # u/v pairing: halves of the batch axis must agree on the
+            # candidate (one signaled uv_mode) — sum the pair's costs
+            P2 = (B // 2) * D
+            cp = cost.reshape(C, 2, P2).sum(axis=1)
+            best_mi = jnp.tile(jnp.argmin(cp, axis=0), 2).astype(jnp.int32)
+        else:
+            best_mi = jnp.argmin(cost, axis=0).astype(jnp.int32)  # 1st-min
+        lev_c = lev.reshape(C, B * D, bs, bs)
+        rec_c = recb.reshape(C, B * D, bs, bs)
+        sel = best_mi[None, :, None, None]
+        best_lev = jnp.take_along_axis(lev_c, sel, axis=0)[0]
+        best_rec = jnp.take_along_axis(rec_c, sel, axis=0)[0]
 
         # scatter recon blocks (invalid lanes → dropped via OOB row index)
         rec_d = best_rec.reshape(B, D, bs, bs)
@@ -287,213 +378,27 @@ def _wavefront_impl(src, rd, bs: int, tx_size: int,
         return recon, best_mi.reshape(B, D), best_lev.reshape(B, D, bs, bs)
 
     def step(recon, xs):
-        rs, cs, valid, has_tr, has_bl = xs               # each [4, D]
-        mis, levs = [], []
-        for z in range(4):                               # z-order in the quad
-            recon, mi, lev = sub_step(recon, rs[z], cs[z], valid[z],
-                                      has_tr[z], has_bl[z])
-            mis.append(mi)
-            levs.append(lev)
-        return recon, (jnp.stack(mis, 1), jnp.stack(levs, 1))
+        rs, cs, valid, has_tr, has_bl = xs               # each [D]
+        recon, mi, lev = sub_step(recon, rs, cs, valid, has_tr, has_bl)
+        return recon, (mi, lev)
 
+    # z-positions FOLD INTO the scan axis (z-order preserved: the xs
+    # sequence is step-major, z-minor) — the scan body holds ONE
+    # sub_step instead of four, so the compiled program is ~4x smaller.
+    # Program size is a first-class cost here: the executable uploads
+    # through the same ~30MB/s tunnel as the data.
+    fold = lambda a: a.reshape((-1,) + a.shape[2:])
     recon0 = jnp.zeros((B, h, w), jnp.int32)
     recon, (mi_d, lev_d) = jax.lax.scan(
-        step, recon0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
-                       jnp.asarray(valid_t), jnp.asarray(has_tr_t),
-                       jnp.asarray(has_bl_t)))
-    # mi_d [nsteps, B, 4, D]; lev_d [nsteps, B, 4, D, bs, bs]
+        step, recon0, tuple(jnp.asarray(fold(a)) for a in
+                            (rs_t, cs_t, valid_t, has_tr_t, has_bl_t)))
+    # mi_d [nsteps*4, B, D]; lev_d [nsteps*4, B, D, bs, bs]
 
     # un-diagonalize: → [B, bh, bw, ...]
     flat_idx = rs_t * bw + cs_t                          # [nsteps, 4, D]
     mode_idx = jnp.zeros((B, bh * bw), jnp.int32)
     levels = jnp.zeros((B, bh * bw, bs, bs), jnp.int32)
-    idx = jnp.asarray(np.where(valid_t, flat_idx, bh * bw))
-    mode_idx = mode_idx.at[:, idx].set(
-        jnp.moveaxis(mi_d, 1, 0), mode="drop")
-    levels = levels.at[:, idx].set(
-        jnp.moveaxis(lev_d, 1, 0), mode="drop")
-    return (mode_idx.reshape(B, bh, bw),
-            levels.reshape(B, bh, bw, bs, bs), recon)
-
-
-def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
-                                 extra_preds, extra_rate, extra_ok,
-                                 intra_ok, n_extra: int,
-                                 modes: tuple = DEFAULT_MODES, bd: int = 8,
-                                 angle_deltas: tuple = (0,),
-                                 valid_h: int = None):
-    cands = expand_candidates(modes, angle_deltas)
-    rd = rd_params(qindex, bd, cands, kf=False)
-    return _wavefront_mixed_impl(src, rd, extra_preds, extra_rate,
-                                 extra_ok, intra_ok, bs, tx_size, n_extra,
-                                 modes, bd, angle_deltas, valid_h)
-
-
-@partial(jax.jit,
-         static_argnames=("bs", "tx_size", "modes", "bd", "angle_deltas",
-                          "n_extra", "valid_h"))
-def _wavefront_mixed_impl(src, rd, extra_preds, extra_rate, extra_ok,
-                          intra_ok, bs: int, tx_size: int, n_extra: int,
-                          modes: tuple = DEFAULT_MODES, bd: int = 8,
-                          angle_deltas: tuple = (0,), valid_h: int = None):
-    """Wavefront mode decision with precomputed non-intra candidates
-    (the inter path of the EncDec loop, EbProductCodingLoop.c MDSx inter
-    classes → here dense candidate tensors evaluated alongside intra).
-
-    extra_preds [B, nE, bh, bw, bs, bs] int32 — bit-final predictions
-    (e.g. NEWMV / GLOBALMV motion compensation); extra_rate [B, nE, bh, bw]
-    float32 — rate estimate (bits); extra_ok [B, nE, bh, bw] bool;
-    intra_ok [B, bh, bw] bool.  Returns (cand_idx, levels, recon) where
-    cand_idx < n_intra selects the intra candidate list and cand_idx >=
-    n_intra selects extra candidate (cand_idx - n_intra).
-
-    valid_h: true frame height — see _wavefront_impl."""
-    dqdc, dqac, lam, mode_rate = rd
-    B, h, w = src.shape
-    vh = h if valid_h is None else valid_h
-    bh, bw = h // bs, w // bs
-    rs_t, cs_t, valid_t, has_tr_t, has_bl_t = _quad_tables(bh, bw)
-    D = rs_t.shape[2]
-    src = src.astype(jnp.int32)
-    base = 1 << (bd - 1)
-    cands = expand_candidates(modes, angle_deltas)
-    n_intra = len(cands)
-    BIG = jnp.float32(3e38)
-
-    ar = jnp.arange(bs)
-
-    def gather_rows(plane, y, x):
-        return plane[:, y[:, None], x[:, None] + ar[None, :]]
-
-    def gather_cols(plane, y, x):
-        rows = jnp.minimum(y[:, None] + ar[None, :], vh - 1)
-        return plane[:, rows, x[:, None]]
-
-    def gather_blocks(plane, y, x):
-        return plane[:, y[:, None, None] + ar[None, :, None],
-                     x[:, None, None] + ar[None, None, :]]
-
-    def txq(pred, f_src):
-        resid = f_src - pred
-        coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, bd)
-        lev = quantize_dq(coeff, tx_size, dqdc, dqac, bd)
-        dq = dequantize_dq(lev, tx_size, dqdc, dqac, bd)
-        recb = add_residual_clip(pred, inv_txfm2d(dq, tx_size, DCT_DCT, bd),
-                                 bd)
-        sse = jnp.sum((f_src - recb) ** 2, axis=(-1, -2)).astype(jnp.float32)
-        return lev, recb, sse, _resid_bits(lev, bs)
-
-    def sub_step(recon, rs, cs, valid, has_tr, has_bl):
-        y = rs * bs
-        x = cs * bs
-        ha = (rs > 0)[None, :, None]
-        hl = (cs > 0)[None, :, None]
-
-        above_real = gather_rows(recon, jnp.maximum(y - 1, 0), x)
-        left_real = gather_cols(recon, y, jnp.maximum(x - 1, 0))
-        corner_real = recon[:, jnp.maximum(y - 1, 0), jnp.maximum(x - 1, 0)]
-        above = jnp.where(ha, above_real,
-                          jnp.where(hl, left_real[..., 0:1], base - 1))
-        left = jnp.where(hl, left_real,
-                         jnp.where(ha, above_real[..., 0:1], base + 1))
-        ha1, hl1 = ha[..., 0], hl[..., 0]
-        corner = jnp.where(ha1 & hl1, corner_real,
-                           jnp.where(ha1, above_real[..., 0],
-                                     jnp.where(hl1, left_real[..., 0],
-                                               base)))
-        tr_real = gather_rows(recon, jnp.maximum(y - 1, 0),
-                              jnp.minimum(x + bs, w - bs))
-        bl_real = gather_cols(recon, jnp.minimum(y + bs, h - bs),
-                              jnp.maximum(x - 1, 0))
-        htr = has_tr[None, :, None]
-        hbl = has_bl[None, :, None]
-        above_ext = jnp.concatenate(
-            [above, jnp.where(htr, tr_real, above[..., -1:])], axis=-1)
-        left_ext = jnp.concatenate(
-            [left, jnp.where(hbl, bl_real, left[..., -1:])], axis=-1)
-
-        blocks = gather_blocks(src, y, x)
-
-        fb = lambda t: t.reshape((B * D,) + t.shape[2:])
-        f_src, f_above, f_left, f_corner = map(
-            fb, (blocks, above, left, corner))
-        f_above_ext, f_left_ext = map(fb, (above_ext, left_ext))
-        f_ha = jnp.broadcast_to(ha1, (B, D)).reshape(-1)
-        f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
-        f_iok = intra_ok[:, rs, cs].reshape(-1)          # [B*D]
-
-        best_cost = best_mi = best_lev = best_rec = None
-        for mi, (mode, delta) in enumerate(cands):
-            if mode == intra.DC_PRED:
-                p = [intra.dc_pred(f_above, f_left, a, l, bd)
-                     for a, l in ((True, True), (True, False),
-                                  (False, True), (False, False))]
-                haa = f_ha[:, None, None]
-                hll = f_hl[:, None, None]
-                pred = jnp.where(haa & hll, p[0],
-                                 jnp.where(haa, p[1],
-                                           jnp.where(hll, p[2], p[3])))
-            elif mode in DIRECTIONAL and (delta != 0 or mode not in
-                                          (intra.V_PRED, intra.H_PRED)):
-                pred = dr_pred(mode, delta, f_above_ext, f_left_ext,
-                               f_corner, bs, bd)
-            else:
-                pred = intra.predict(mode, f_above, f_left, f_corner)
-            lev, recb, sse, resid_bits = txq(pred, f_src)
-            cost = sse + lam * (mode_rate[mi] + resid_bits)
-            cost = jnp.where(f_iok, cost, BIG)
-            if best_cost is None:
-                best_cost = cost
-                best_mi = jnp.zeros_like(cost, jnp.int32)
-                best_lev, best_rec = lev, recb
-            else:
-                take = cost < best_cost
-                best_cost = jnp.where(take, cost, best_cost)
-                best_mi = jnp.where(take, mi, best_mi)
-                t3 = take[:, None, None]
-                best_lev = jnp.where(t3, lev, best_lev)
-                best_rec = jnp.where(t3, recb, best_rec)
-
-        for e in range(n_extra):
-            pred = fb(extra_preds[:, e][:, rs, cs])      # [B*D, bs, bs]
-            rate = extra_rate[:, e][:, rs, cs].reshape(-1)
-            ok = extra_ok[:, e][:, rs, cs].reshape(-1)
-            lev, recb, sse, resid_bits = txq(pred, f_src)
-            cost = jnp.where(ok, sse + lam * (rate + resid_bits), BIG)
-            take = cost < best_cost
-            best_cost = jnp.where(take, cost, best_cost)
-            best_mi = jnp.where(take, n_intra + e, best_mi)
-            t3 = take[:, None, None]
-            best_lev = jnp.where(t3, lev, best_lev)
-            best_rec = jnp.where(t3, recb, best_rec)
-
-        rec_d = best_rec.reshape(B, D, bs, bs)
-        y_eff = jnp.where(valid, y, h + bs)
-        rows = y_eff[:, None, None] + ar[None, :, None]
-        colx = x[:, None, None] + ar[None, None, :]
-        recon = recon.at[:, rows, colx].set(rec_d, mode="drop")
-        return recon, best_mi.reshape(B, D), best_lev.reshape(B, D, bs, bs)
-
-    def step(recon, xs):
-        rs, cs, valid, has_tr, has_bl = xs
-        mis, levs = [], []
-        for z in range(4):
-            recon, mi, lev = sub_step(recon, rs[z], cs[z], valid[z],
-                                      has_tr[z], has_bl[z])
-            mis.append(mi)
-            levs.append(lev)
-        return recon, (jnp.stack(mis, 1), jnp.stack(levs, 1))
-
-    recon0 = jnp.zeros((B, h, w), jnp.int32)
-    recon, (mi_d, lev_d) = jax.lax.scan(
-        step, recon0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
-                       jnp.asarray(valid_t), jnp.asarray(has_tr_t),
-                       jnp.asarray(has_bl_t)))
-
-    flat_idx = rs_t * bw + cs_t
-    mode_idx = jnp.zeros((B, bh * bw), jnp.int32)
-    levels = jnp.zeros((B, bh * bw, bs, bs), jnp.int32)
-    idx = jnp.asarray(np.where(valid_t, flat_idx, bh * bw))
+    idx = jnp.asarray(np.where(fold(valid_t), fold(flat_idx), bh * bw))
     mode_idx = mode_idx.at[:, idx].set(
         jnp.moveaxis(mi_d, 1, 0), mode="drop")
     levels = levels.at[:, idx].set(

@@ -236,46 +236,79 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         rb = rb + jnp.where(nnz > 0, tx_bits, 0.0)
         return lev, recb, sse, rb
 
+    def intra_pred(mode, delta, f_above, f_left, f_corner, f_ha, f_hl, n,
+                   f_above_ext=None, f_left_ext=None):
+        """One intra candidate's prediction [B*D, n, n]."""
+        if mode == intra.DC_PRED:
+            p = [intra.dc_pred(f_above, f_left, a, l, bd)
+                 for a, l in ((True, True), (True, False),
+                              (False, True), (False, False))]
+            haa = f_ha[:, None, None]
+            hll = f_hl[:, None, None]
+            return jnp.where(haa & hll, p[0],
+                             jnp.where(haa, p[1],
+                                       jnp.where(hll, p[2], p[3])))
+        if mode in DIRECTIONAL and (delta != 0 or mode not in
+                                    (intra.V_PRED, intra.H_PRED)):
+            if f_above_ext is None:
+                f_above_ext = jnp.concatenate(
+                    [f_above, f_above[..., -1:].repeat(n, -1)], -1)
+                f_left_ext = jnp.concatenate(
+                    [f_left, f_left[..., -1:].repeat(n, -1)], -1)
+            return dr_pred(mode, delta, f_above_ext, f_left_ext,
+                           f_corner, n, bd)
+        return intra.predict(mode, f_above, f_left, f_corner)
+
+    def stack_eval(preds, rates, oks, f_src, tx_size, n, tx_bits, txq_fn):
+        """ALL candidates through ONE txq chain: preds/rates/oks are
+        parallel lists ([BD,n,n] / [BD] or scalar / [BD] bool or None).
+        argmin keeps the first minimum — identical tie-break to the old
+        sequential `_take` loop.  Returns the old best-pack tuple."""
+        C = len(preds)
+        BD = preds[0].shape[0]
+        pred_s = jnp.stack(preds)                      # [C, BD, n, n]
+        lev, recb, sse, rb = txq_fn(
+            pred_s.reshape(C * BD, n, n),
+            jnp.tile(f_src, (C, 1, 1)))
+        sse = sse.reshape(C, BD)
+        rb = rb.reshape(C, BD)
+        rate_s = jnp.stack([jnp.broadcast_to(r, (BD,)) for r in rates])
+        rcost_s = sse + lam * rb
+        cost_s = rcost_s + lam * rate_s
+        ok_s = jnp.stack([jnp.ones((BD,), bool) if o is None else o
+                          for o in oks])
+        cost_s = jnp.where(ok_s, cost_s, BIG)
+        mi = jnp.argmin(cost_s, axis=0).astype(jnp.int32)
+        sel = mi[None]
+        cost = jnp.take_along_axis(cost_s, sel, 0)[0]
+        rcost = jnp.take_along_axis(rcost_s, sel, 0)[0]
+        sel3 = mi[None, :, None, None]
+        lev_b = jnp.take_along_axis(
+            lev.reshape((C, BD) + lev.shape[1:]), sel3, 0)[0]
+        rec_b = jnp.take_along_axis(recb.reshape(C, BD, n, n), sel3, 0)[0]
+        pred_b = jnp.take_along_axis(pred_s, sel3, 0)[0]
+        return cost, mi, lev_b, rec_b, pred_b, rcost
+
     def eval_set(f_src, f_above, f_left, f_corner, f_ha, f_hl, cands,
                  mode_rates, n, tx_size, tx_bits, f_iok, extras):
         """Best candidate over intra list + extras, then (optionally) RD
         tx-type refinement of intra winners.
         extras: list of (pred [B*D,n,n], rate [B*D], ok [B*D]).
         Returns (cost, mi, lev, recb, tx_idx)."""
-        best = None
+        preds, rates, oks = [], [], []
         for mi, (mode, delta) in enumerate(cands):
-            if mode == intra.DC_PRED:
-                p = [intra.dc_pred(f_above, f_left, a, l, bd)
-                     for a, l in ((True, True), (True, False),
-                                  (False, True), (False, False))]
-                haa = f_ha[:, None, None]
-                hll = f_hl[:, None, None]
-                pred = jnp.where(haa & hll, p[0],
-                                 jnp.where(haa, p[1],
-                                           jnp.where(hll, p[2], p[3])))
-            elif mode in DIRECTIONAL and (delta != 0 or mode not in
-                                          (intra.V_PRED, intra.H_PRED)):
-                ext_a = jnp.concatenate([f_above, f_above[..., -1:]
-                                         .repeat(n, -1)], -1)
-                ext_l = jnp.concatenate([f_left, f_left[..., -1:]
-                                         .repeat(n, -1)], -1)
-                pred = dr_pred(mode, delta, ext_a, ext_l, f_corner, n, bd)
-            else:
-                pred = intra.predict(mode, f_above, f_left, f_corner)
-            lev, recb, sse, rb = txq(pred, f_src, tx_size, n, tx_bits)
-            cost = jnp.where(f_iok,
-                             sse + lam * (mode_rates[mi] + rb), BIG)
-            pack = (cost, jnp.full_like(cost.astype(jnp.int32), mi), lev,
-                    recb, pred, sse + lam * rb)
-            best = pack if best is None else _take(best, pack)
+            preds.append(intra_pred(mode, delta, f_above, f_left,
+                                    f_corner, f_ha, f_hl, n))
+            rates.append(mode_rates[mi])
+            oks.append(f_iok)
+        for pred, rate, ok in extras:
+            preds.append(pred)
+            rates.append(rate)
+            oks.append(ok)
         n_intra = len(cands)
-        for e, (pred, rate, ok) in enumerate(extras):
-            lev, recb, sse, rb = txq(pred, f_src, tx_size, n, tx_bits)
-            cost = jnp.where(ok, sse + lam * (rate + rb), BIG)
-            pack = (cost, jnp.full_like(cost.astype(jnp.int32), n_intra + e),
-                    lev, recb, pred, sse + lam * rb)
-            best = _take(best, pack)
-        cost, mi, lev, recb, pred, rcost = best
+        cost, mi, lev, recb, pred, rcost = stack_eval(
+            preds, rates, oks, f_src, tx_size, n, tx_bits,
+            lambda p, s: txq(p, s, tx_size, n, tx_bits))
         tx_idx = jnp.zeros_like(mi)
         if tx_search:
             m_ids = mode_ids[jnp.clip(mi, 0, len(mode_ids) - 1)]
@@ -345,40 +378,20 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         f_iok = intra_ok_top[:, rs, cs].reshape(-1)
 
         # ---- whole-block (NONE) evaluation, incl. extended-edge modes ---
-        best_top = None
+        preds_t, rates_t, oks_t = [], [], []
         for mi, (mode, delta) in enumerate(cands_top):
-            if mode == intra.DC_PRED:
-                p = [intra.dc_pred(f_above, f_left, a, l, bd)
-                     for a, l in ((True, True), (True, False),
-                                  (False, True), (False, False))]
-                haa = f_ha[:, None, None]
-                hll = f_hl[:, None, None]
-                pred = jnp.where(haa & hll, p[0],
-                                 jnp.where(haa, p[1],
-                                           jnp.where(hll, p[2], p[3])))
-            elif mode in DIRECTIONAL and (delta != 0 or mode not in
-                                          (intra.V_PRED, intra.H_PRED)):
-                pred = dr_pred(mode, delta, f_above_ext, f_left_ext,
-                               f_corner, bs, bd)
-            else:
-                pred = intra.predict(mode, f_above, f_left, f_corner)
-            lev, recb, sse, rb = txq(pred, f_src, tx_top, bs, txb_top)
-            cost = jnp.where(f_iok,
-                             sse + lam * (rate_top[mi] + rb), BIG)
-            pack = (cost, jnp.full_like(cost.astype(jnp.int32), mi), lev,
-                    recb, pred, sse + lam * rb)
-            best_top = pack if best_top is None else _take(best_top, pack)
-        n_i_top = len(cands_top)
+            preds_t.append(intra_pred(mode, delta, f_above, f_left,
+                                      f_corner, f_ha, f_hl, bs,
+                                      f_above_ext, f_left_ext))
+            rates_t.append(rate_top[mi])
+            oks_t.append(f_iok)
         for e in range(n_extra):
-            pred = fb(extra_top[:, e][:, rs, cs])
-            rate = extra_rate_top[:, e][:, rs, cs].reshape(-1)
-            ok = extra_ok_top[:, e][:, rs, cs].reshape(-1)
-            lev, recb, sse, rb = txq(pred, f_src, tx_top, bs, txb_top)
-            cost = jnp.where(ok, sse + lam * (rate + rb), BIG)
-            pack = (cost, jnp.full_like(cost.astype(jnp.int32),
-                                        n_i_top + e), lev, recb, pred,
-                    sse + lam * rb)
-            best_top = _take(best_top, pack)
+            preds_t.append(fb(extra_top[:, e][:, rs, cs]))
+            rates_t.append(extra_rate_top[:, e][:, rs, cs].reshape(-1))
+            oks_t.append(extra_ok_top[:, e][:, rs, cs].reshape(-1))
+        best_top = stack_eval(
+            preds_t, rates_t, oks_t, f_src, tx_top, bs, txb_top,
+            lambda p, s: txq(p, s, tx_top, bs, txb_top))
 
         # ---- SPLIT evaluation: 4 z-order sub-blocks ---------------------
         loc = jnp.zeros((B * D, bs, bs), jnp.int32)
@@ -520,38 +533,19 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
         f_iok = intra_ok_sb[:, sbr, sbc].reshape(-1)
 
-        best = None
+        preds_b, rates_b, oks_b = [], [], []
         for mi, (mode, delta) in enumerate(cands_sbl):
-            if mode == intra.DC_PRED:
-                p = [intra.dc_pred(f_above, f_left, a, l, bd)
-                     for a, l in ((True, True), (True, False),
-                                  (False, True), (False, False))]
-                haa = f_ha[:, None, None]
-                hll = f_hl[:, None, None]
-                pred = jnp.where(haa & hll, p[0],
-                                 jnp.where(haa, p[1],
-                                           jnp.where(hll, p[2], p[3])))
-            elif mode in DIRECTIONAL and (delta != 0 or mode not in
-                                          (intra.V_PRED, intra.H_PRED)):
-                pred = dr_pred(mode, delta, f_above_ext, f_left_ext,
-                               f_corner, bs2, bd)
-            else:
-                pred = intra.predict(mode, f_above, f_left, f_corner)
-            lev, recb, sse, rb = txq_sb(pred, f_src)
-            cost = jnp.where(f_iok, sse + lam * (rate_sb[mi] + rb), BIG)
-            pack = (cost, jnp.full_like(cost.astype(jnp.int32), mi), lev,
-                    recb, pred, sse + lam * rb)
-            best = pack if best is None else _take(best, pack)
-        n_i = len(cands_sbl)
+            preds_b.append(intra_pred(mode, delta, f_above, f_left,
+                                      f_corner, f_ha, f_hl, bs2,
+                                      f_above_ext, f_left_ext))
+            rates_b.append(rate_sb[mi])
+            oks_b.append(f_iok)
         for e in range(n_extra):
-            pred = fb(extra_sb[:, e][:, sbr, sbc])
-            rate = extra_rate_sb[:, e][:, sbr, sbc].reshape(-1)
-            ok = extra_ok_sb[:, e][:, sbr, sbc].reshape(-1)
-            lev, recb, sse, rb = txq_sb(pred, f_src)
-            cost = jnp.where(ok, sse + lam * (rate + rb), BIG)
-            pack = (cost, jnp.full_like(cost.astype(jnp.int32), n_i + e),
-                    lev, recb, pred, sse + lam * rb)
-            best = _take(best, pack)
+            preds_b.append(fb(extra_sb[:, e][:, sbr, sbc]))
+            rates_b.append(extra_rate_sb[:, e][:, sbr, sbc].reshape(-1))
+            oks_b.append(extra_ok_sb[:, e][:, sbr, sbc].reshape(-1))
+        best = stack_eval(preds_b, rates_b, oks_b, f_src, tx_sb, bs2,
+                          txb_sb, lambda p, s: txq_sb(p, s))
         return best[0], best[1], best[2], best[3]
 
     def step(recon, xs):

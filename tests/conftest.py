@@ -19,6 +19,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: partition/inter wavefronts take minutes to
-# compile per shape on CPU — cache them across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_svtav1")
+# compile per shape on CPU — cache them across test runs.  The path is
+# keyed per machine: round 3's shared /tmp/jax_cache_svtav1 accumulated
+# XLA:CPU AOT artifacts from a different host (machine-feature mismatch
+# spam + timeouts, MULTICHIP_r03.json).
+import platform  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_cache_svtav1_{platform.node()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -31,7 +31,7 @@ def test_preset_out_of_range():
     ("qindex", 256, "qindex"),
     ("bit_depth", 12, "bit_depth"),
     ("tile_cols", 3, "tile_cols"),
-    ("width", 100, "multiples of 64"),
+    ("width", 100, "multiple of 64"),
     ("width", 4160, "4096"),
 ])
 def test_verify_settings_rejects(field, val, msg):
