@@ -816,6 +816,12 @@ class Decoder:
                     dec, cdf, rd_n, rd_n, txs, DCT_DCT,
                     min(plane, 1), tctx, dctx,
                     is_inter=is_inter, intra_mode=y_mode)
+                if plane > 0 and not is_inter:
+                    # chroma-intra tx type is implied by uv_mode (spec
+                    # compute_tx_type; EbCommonUtils.h:67), clamped to
+                    # DCT past 16x16
+                    from ..spec.txfm import uv_intra_tx_type
+                    tx_type = uv_intra_tx_type(uv_mode, txs)
                 if rd_n != pbs:
                     full = np.zeros((pbs, pbs), lev.dtype)
                     full[:rd_n, :rd_n] = lev

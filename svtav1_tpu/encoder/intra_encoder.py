@@ -162,7 +162,7 @@ class IntraEncoder:
         uvb = np.concatenate([ub, vb])
         uv_mi, uv_lev, uv_rec = encode_plane_wavefront(
             uvb, CBLK, TX_16X16, cfg.qindex, CAND_MODES, bd,
-            valid_h=vhc, paired=True, kf="uv")
+            valid_h=vhc, paired=True, kf="uv", uv_tx=True)
         lf = self.lf_levels()
         if lf[0] or lf[1]:
             y_rec = deblock_plane_uniform(y_rec, BLK, 14, lf[0], lf[1],
@@ -241,26 +241,40 @@ class IntraEncoder:
                 sb_search=True, tx_sb=TX_64X64, extra_sb=dummy_psb,
                 extra_rate_sb=dummy_rsb, extra_ok_sb=dummy_osb,
                 intra_ok_sb=ones_sb, force_sb=free_sb, valid_h=vh)
-        (_, u_mi, u_lev, u_smi, u_slev, _, u_rec,
-         _, _, u_lev_sb) = \
+        # U and V ride one paired wavefront: the partition tree is forced
+        # by luma and each (u,v) pair picks the SAME uv_mode (chroma mode
+        # decision — the reference's chroma MD, EbModeDecision.c)
+        from .wavefront2 import (CHROMA_SB_MODES, CHROMA_SUB_MODES,
+                                 CHROMA_TOP_MODES)
+        two = lambda a: jnp.concatenate([a, a])
+        uvb2 = jnp.asarray(np.concatenate([ub, vb]))
+        dummy2_p = two(dummy_p)
+        dummy2_r = two(dummy_r)
+        dummy2_rs = two(dummy_rs)
+        dummy2_o = two(dummy_o)
+        dummy2_os = two(dummy_os)
+        dummy2_psb = two(dummy_psb)
+        dummy2_rsb = two(dummy_rsb)
+        dummy2_osb = two(dummy_osb)
+        (_, uv_mi, uv_lev, uv_smi, uv_slev, _, uv_rec,
+         _, uv_mi_sb, uv_lev_sb) = \
             encode_plane_wavefront_part(
-                jnp.asarray(ub), CBLK, TX_16X16, TX_8X8, cfg.qindex,
-                dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
-                ones, ones4, part, 0, (intra.DC_PRED,), (intra.DC_PRED,),
+                uvb2, CBLK, TX_16X16, TX_8X8, cfg.qindex,
+                dummy2_p, dummy2_r, dummy2_p, dummy2_rs, dummy2_o,
+                dummy2_os, two(ones), two(ones4), two(part), 0,
+                CHROMA_TOP_MODES, CHROMA_SUB_MODES,
                 bd, (0,), True,
-                sb_search=True, tx_sb=TX_32X32, extra_sb=dummy_psb,
-                extra_rate_sb=dummy_rsb, extra_ok_sb=dummy_osb,
-                intra_ok_sb=ones_sb, force_sb=part_sb, valid_h=vhc)
-        (_, v_mi, v_lev, v_smi, v_slev, _, v_rec,
-         _, _, v_lev_sb) = \
-            encode_plane_wavefront_part(
-                jnp.asarray(vb), CBLK, TX_16X16, TX_8X8, cfg.qindex,
-                dummy_p, dummy_r, dummy_p, dummy_rs, dummy_o, dummy_os,
-                ones, ones4, part, 0, (intra.DC_PRED,), (intra.DC_PRED,),
-                bd, (0,), True,
-                sb_search=True, tx_sb=TX_32X32, extra_sb=dummy_psb,
-                extra_rate_sb=dummy_rsb, extra_ok_sb=dummy_osb,
-                intra_ok_sb=ones_sb, force_sb=part_sb, valid_h=vhc)
+                sb_search=True, tx_sb=TX_32X32, extra_sb=dummy2_psb,
+                extra_rate_sb=dummy2_rsb, extra_ok_sb=dummy2_osb,
+                intra_ok_sb=two(ones_sb), force_sb=two(part_sb),
+                valid_h=vhc, paired=True, uv_rates=True,
+                modes_sbl=CHROMA_SB_MODES, uv_tx=True)
+        u_mi, u_lev, u_smi, u_slev = (uv_mi[:B], uv_lev[:B], uv_smi[:B],
+                                      uv_slev[:B])
+        u_rec, u_lev_sb = uv_rec[:B], uv_lev_sb[:B]
+        v_lev, v_slev, v_rec, v_lev_sb = (uv_lev[B:], uv_slev[B:],
+                                          uv_rec[B:], uv_lev_sb[B:])
+        uv_mi, uv_smi, uv_mi_sb = uv_mi[:B], uv_smi[:B], uv_mi_sb[:B]
         if T > 1:
             # reassemble full-frame planes/maps from the tile axis for
             # deblocking (the loop filter crosses tile boundaries)
@@ -308,7 +322,7 @@ class IntraEncoder:
         return ("part", yb.shape[0] // T, part, y_mi, y_lev, y_smi, y_slev,
                 u_lev, u_slev, v_lev, v_slev, y_stx, y_rec, u_rec, v_rec,
                 frames, part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb,
-                lf)
+                uv_mi, uv_smi, uv_mi_sb, lf)
 
     def _host_finish_part(self, dev):
         from .tile_codec import TileCoder
@@ -317,14 +331,28 @@ class IntraEncoder:
         cfg = self.cfg
         (_, n, part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
          v_slev, y_stx, y_rec, u_rec, v_rec, frames,
-         part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb, lfv) = dev
+         part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb,
+         uv_mi, uv_smi, uv_mi_sb, lfv) = dev
         arrs = [np.asarray(a) for a in
                 (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
                  v_slev, y_stx, y_rec, u_rec, v_rec,
-                 part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb)]
+                 part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb,
+                 uv_mi, uv_smi, uv_mi_sb)]
         (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev, v_slev,
          y_stx, y_rec, u_rec, v_rec,
-         part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb) = arrs
+         part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb,
+         uv_mi, uv_smi, uv_mi_sb) = arrs
+        from .wavefront2 import (CHROMA_SB_MODES, CHROMA_SUB_MODES,
+                                 CHROMA_TOP_MODES)
+        uvm_top = np.array([m for m, _ in expand_candidates(
+            CHROMA_TOP_MODES, (0,))], np.int32)
+        uvm_sub = np.array([m for m, _ in expand_candidates(
+            CHROMA_SUB_MODES, (0,))], np.int32)
+        uvm_sb = np.array([m for m, _ in expand_candidates(
+            CHROMA_SB_MODES, (0,))], np.int32)
+        uv_top = uvm_top[np.clip(uv_mi, 0, len(uvm_top) - 1)]
+        uv_sub = uvm_sub[np.clip(uv_smi, 0, len(uvm_sub) - 1)]
+        uv_sb = uvm_sb[np.clip(uv_mi_sb, 0, len(uvm_sb) - 1)]
         cands = expand_candidates(CAND_MODES, tuple(cfg.angle_deltas))
         cands_sub = expand_candidates(SUB_MODES, (0,))
         T = cfg.tile_cols
@@ -410,7 +438,9 @@ class IntraEncoder:
                                     part_sb=part_sb[i], mi_sb=y_mi_sb[i],
                                     lev_sb_y=y_lev_sb[i],
                                     lev_sb_u=u_lev_sb[i],
-                                    lev_sb_v=v_lev_sb[i])
+                                    lev_sb_v=v_lev_sb[i],
+                                    uv_top=uv_top[i], uv_sub=uv_sub[i],
+                                    uv_sb=uv_sb[i])
                 tiles.append(tile)
             fr = FrameConfig(base_q_idx=cfg.qindex,
                              disable_cdf_update=not cfg.cdf_update,

@@ -115,7 +115,8 @@ class TileCoder:
                mi_sub, lev_sub_y, lev_sub_u, lev_sub_v, mv_top, mv_sub,
                cands_top, cands_sub, n_i_top, n_i_sub, stx_sub=None,
                part_sb=None, mi_sb=None, lev_sb_y=None, lev_sb_u=None,
-               lev_sb_v=None, mv_sb=None):
+               lev_sb_v=None, mv_sb=None, uv_top=None, uv_sub=None,
+               uv_sb=None):
         """part [bh,bw] 0/1; *_top at 32-block granularity; *_sub indexed
         [bh,bw,4(z),...]; mv_top [bh,bw,2]; mv_sub [bh,bw,4,2].  For key
         frames the inter params may be None.
@@ -123,7 +124,11 @@ class TileCoder:
         part_sb [sbh,sbw] (0=64x64 NONE, 1=split) adds the superblock
         depth: NONE SBs code one 64x64 block — y TXB is TX_64X64 whose
         coded area is the 32x32 low band lev_sb_y, chroma TX_32X32
-        (lev_sb_u/v), mv from mv_sb (same lane space as mv_top)."""
+        (lev_sb_u/v), mv from mv_sb (same lane space as mv_top).
+
+        uv_top [bh,bw] / uv_sub [bh,bw,4] / uv_sb [sbh,sbw]: searched
+        chroma mode ids for intra blocks (None → DC)."""
+        self._uv_top, self._uv_sub, self._uv_sb = uv_top, uv_sub, uv_sb
         enc, cdf = self.enc, self.cdf
         sb_cols = self.w // SB
         sb_rows = (self.mi_rows + 15) // 16
@@ -151,7 +156,9 @@ class TileCoder:
                                      cands_top, lev_sb_y[sb_r, sb_c],
                                      lev_sb_u[sb_r, sb_c],
                                      lev_sb_v[sb_r, sb_c], mv,
-                                     TX_64X64, TX_32X32)
+                                     TX_64X64, TX_32X32,
+                                     uv_mode=(int(uv_sb[sb_r, sb_c])
+                                              if uv_sb is not None else 0))
                     a, l = M.partition_ctx_value(64, 64)
                     self.above_part[sb_c * 16:sb_c * 16 + 16] = a
                     self.left_part[:] = l
@@ -189,7 +196,9 @@ class TileCoder:
             mv = (mv_top[br, bc] if mv_top is not None else None)
             self._code_block(mi_r, mi_c, 32, idx, n_i_top, cands_top,
                              ly[br, bc], lu[br, bc], lv[br, bc], mv,
-                             TX_32X32, TX_16X16)
+                             TX_32X32, TX_16X16,
+                             uv_mode=(int(self._uv_top[br, bc])
+                                      if self._uv_top is not None else 0))
             a, l = M.partition_ctx_value(32, 32)
             self.above_part[mi_c:mi_c + 8] = a
             self.left_part[qr * 8:qr * 8 + 8] = l
@@ -214,7 +223,10 @@ class TileCoder:
                 self._code_block(smr, smc, 16, idx, n_i_sub, cands_sub,
                                  sly[br, bc, z], slu[br, bc, z],
                                  slv[br, bc, z], mv, TX_16X16, TX_8X8,
-                                 y_tx_type=stx)
+                                 y_tx_type=stx,
+                                 uv_mode=(int(self._uv_sub[br, bc, z])
+                                          if self._uv_sub is not None
+                                          else 0))
                 a, l = M.partition_ctx_value(16, 16)
             else:
                 # partial 16: PARTITION_HORZ → one 16x8 strip block
@@ -235,7 +247,7 @@ class TileCoder:
 
     def _code_block(self, mi_r, mi_c, bs, idx, n_intra, cands, y_lev,
                     u_lev, v_lev, mv, tx_y, tx_uv, y_tx_type=DCT_DCT,
-                    bs_h: int = None):
+                    bs_h: int = None, uv_mode: int = 0):
         enc, cdf, grid = self.enc, self.cdf, self.grid
         bs_h = bs if bs_h is None else bs_h
         if tx_y is None:               # rect strip block: largest rect tx
@@ -282,7 +294,9 @@ class TileCoder:
                 M.write_angle_delta(enc, cdf, mode, delta)
             # CfL is only allowed for blocks <= 32x32 (spec 5.11.5
             # intra_frame_mode_info); 64x64 blocks use the 13-symbol CDF
-            M.write_uv_mode(enc, cdf, bs <= 32, mode, 0)
+            M.write_uv_mode(enc, cdf, bs <= 32, mode, uv_mode)
+            if M.is_directional(uv_mode):
+                M.write_angle_delta(enc, cdf, uv_mode, 0)
             grid.set_block(mi_r, mi_c, bw4, bh4, MV.INTRA_FRAME, mode)
             self.mode_grid[mi_r:mi_r + bw4, mi_c:mi_c + bw4] = mode
         else:
@@ -374,7 +388,9 @@ class TileCoder:
                 IM._sym(enc, cdf, cdf.y_mode_cdf[SIZE_GROUP[bs] if bs_h == bs else 1], mode, 13)
                 if M.is_directional(mode):
                     M.write_angle_delta(enc, cdf, mode, delta)
-                M.write_uv_mode(enc, cdf, bs <= 32, mode, 0)
+                M.write_uv_mode(enc, cdf, bs <= 32, mode, uv_mode)
+                if M.is_directional(uv_mode):
+                    M.write_angle_delta(enc, cdf, uv_mode, 0)
                 grid.set_block(mi_r, mi_c, bw4, bh4, MV.INTRA_FRAME, mode)
 
         self._code_residuals(mi_r, mi_c, bs, skip, is_inter, y_mode,

@@ -948,23 +948,45 @@ class VideoEncoder:
         c_rate_s = jnp.zeros((T, 1, bh, bw_t, 4), jnp.float32)
         c_rate_sb = jnp.zeros((T, 1, sh, sw_t), jnp.float32)
 
-        def chroma_pass(plane, pt, ps, psb):
-            return encode_plane_wavefront_part(
-                tstack(jnp.asarray(plane)[None].astype(jnp.int32), 2),
-                CBLK, TX_16X16, TX_8X8, q,
-                tstack(pt.reshape(1, 1, bh, bw, CBLK, CBLK), 3), c_rate,
-                tstack(ps.reshape(1, 1, bh, bw, 4, 8, 8), 3), c_rate_s,
-                c_ok_top, c_ok_sub, ~top_inter, ~sub_inter, part, 1,
-                (0,), (0,), bd, (0,), False, False, lam_scale,
-                sb_search=True, tx_sb=TX_32X32,
-                extra_sb=tstack(psb.reshape(1, 1, sh, sw, 32, 32), 3),
-                extra_rate_sb=c_rate_sb, extra_ok_sb=c_ok_sb,
-                intra_ok_sb=~sb_inter, force_sb=part_sb, valid_h=vhc)
-
-        (_, u_mi, u_lev, u_smi, u_slev, _, u_rec,
-         _, _, u_lev_sb) = chroma_pass(u, pu_t, pu_s, pu_sb)
-        (_, v_mi, v_lev, v_smi, v_slev, _, v_rec,
-         _, _, v_lev_sb) = chroma_pass(v, pv_t, pv_s, pv_sb)
+        # U and V ride ONE paired wavefront (chroma mode decision: each
+        # (u,v) pair picks the same uv_mode for intra blocks; inter
+        # blocks take the plane's MC lane — ok masks force agreement)
+        from .wavefront2 import (CHROMA_SB_MODES, CHROMA_SUB_MODES,
+                                 CHROMA_TOP_MODES)
+        two = lambda a: jnp.concatenate([a, a])
+        uv_src = jnp.concatenate(
+            [tstack(jnp.asarray(u)[None].astype(jnp.int32), 2),
+             tstack(jnp.asarray(v)[None].astype(jnp.int32), 2)])
+        uv_pt = jnp.concatenate(
+            [tstack(pu_t.reshape(1, 1, bh, bw, CBLK, CBLK), 3),
+             tstack(pv_t.reshape(1, 1, bh, bw, CBLK, CBLK), 3)])
+        uv_ps = jnp.concatenate(
+            [tstack(pu_s.reshape(1, 1, bh, bw, 4, 8, 8), 3),
+             tstack(pv_s.reshape(1, 1, bh, bw, 4, 8, 8), 3)])
+        uv_psb = jnp.concatenate(
+            [tstack(pu_sb.reshape(1, 1, sh, sw, 32, 32), 3),
+             tstack(pv_sb.reshape(1, 1, sh, sw, 32, 32), 3)])
+        (_, uv_mi, uv_lev, uv_smi, uv_slev, _, uv_rec,
+         _, uv_mi_sb, uv_lev_sb) = encode_plane_wavefront_part(
+            uv_src, CBLK, TX_16X16, TX_8X8, q,
+            uv_pt, two(c_rate), uv_ps, two(c_rate_s),
+            two(c_ok_top), two(c_ok_sub), two(~top_inter),
+            two(~sub_inter), two(part), 1,
+            CHROMA_TOP_MODES, CHROMA_SUB_MODES, bd, (0,), False, False,
+            lam_scale,
+            sb_search=True, tx_sb=TX_32X32,
+            extra_sb=uv_psb, extra_rate_sb=two(c_rate_sb),
+            extra_ok_sb=two(c_ok_sb), intra_ok_sb=two(~sb_inter),
+            force_sb=two(part_sb), valid_h=vhc, paired=True,
+            uv_rates=True, modes_sbl=CHROMA_SB_MODES, uv_tx=True)
+        TB = uv_mi.shape[0] // 2
+        u_mi, u_lev, u_smi, u_slev = (uv_mi[:TB], uv_lev[:TB],
+                                      uv_smi[:TB], uv_slev[:TB])
+        u_rec, u_lev_sb = uv_rec[:TB], uv_lev_sb[:TB]
+        v_mi, v_lev, v_smi, v_slev = (uv_mi[TB:], uv_lev[TB:],
+                                      uv_smi[TB:], uv_slev[TB:])
+        v_rec, v_lev_sb = uv_rec[TB:], uv_lev_sb[TB:]
+        uv_mi, uv_smi, uv_mi_sb = uv_mi[:TB], uv_smi[:TB], uv_mi_sb[:TB]
 
         # reassemble frame planes/maps for (cross-tile) deblocking
         part_f = tunstack(part, 2)
@@ -989,11 +1011,21 @@ class VideoEncoder:
         arrs = [np.asarray(a) for a in
                 (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
                  v_slev, mv_top_f, mv_sub_f, y_stx,
-                 part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb, mv_sb_f)]
+                 part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb, mv_sb_f,
+                 uv_mi, uv_smi, uv_mi_sb)]
         (part_n, y_mi_n, y_lev_n, y_smi_n, y_slev_n, u_lev_n, u_slev_n,
          v_lev_n, v_slev_n, mv_t_n, mv_s_n, y_stx_n,
          psb_n, y_mi_sb_n, y_lev_sb_n, u_lev_sb_n, v_lev_sb_n,
-         mv_sb_n) = arrs
+         mv_sb_n, uv_mi_n, uv_smi_n, uv_mi_sb_n) = arrs
+        _uvm_t = np.array([m for m, _ in expand_candidates(
+            CHROMA_TOP_MODES, (0,))], np.int32)
+        _uvm_s = np.array([m for m, _ in expand_candidates(
+            CHROMA_SUB_MODES, (0,))], np.int32)
+        _uvm_b = np.array([m for m, _ in expand_candidates(
+            CHROMA_SB_MODES, (0,))], np.int32)
+        uv_top_n = _uvm_t[np.clip(uv_mi_n, 0, len(_uvm_t) - 1)]
+        uv_sub_n = _uvm_s[np.clip(uv_smi_n, 0, len(_uvm_s) - 1)]
+        uv_sb_n = _uvm_b[np.clip(uv_mi_sb_n, 0, len(_uvm_b) - 1)]
         y_rec_n = np.asarray(y_rec)[0]
         u_rec_n = np.asarray(u_rec)[0]
         v_rec_n = np.asarray(v_rec)[0]
@@ -1098,7 +1130,8 @@ class VideoEncoder:
                                    lev_sb_y=y_lev_sb_n[t],
                                    lev_sb_u=u_lev_sb_n[t],
                                    lev_sb_v=v_lev_sb_n[t],
-                                   mv_sb=mv_sb_n[t])
+                                   mv_sb=mv_sb_n[t], uv_top=uv_top_n[t],
+                                   uv_sub=uv_sub_n[t], uv_sb=uv_sb_n[t])
             tiles.append(tile)
             if t == 0:
                 end_cdf = tcdf

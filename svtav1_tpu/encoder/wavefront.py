@@ -161,14 +161,15 @@ def rd_params(qindex: int, bd: int, cands, kf: bool = True):
 def encode_plane_wavefront(src, bs: int, tx_size: int, qindex: int,
                            modes: tuple = DEFAULT_MODES, bd: int = 8,
                            angle_deltas: tuple = (0,), valid_h: int = None,
-                           paired: bool = False, kf: bool = True):
+                           paired: bool = False, kf: bool = True,
+                           uv_tx: bool = False):
     """paired=True: src stacks two planes [U...V...] on the batch axis and
     each (u,v) pair must pick the SAME candidate (one uv_mode is signaled
     for both chroma planes, spec 5.11.5) — costs sum across the pair."""
     cands = expand_candidates(modes, angle_deltas)
     rd = rd_params(qindex, bd, cands, kf=kf)
     return _wavefront_impl(src, rd, bs, tx_size, modes, bd, angle_deltas,
-                           valid_h, paired)
+                           valid_h, paired, uv_tx)
 
 
 def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
@@ -187,11 +188,11 @@ def encode_plane_wavefront_mixed(src, bs: int, tx_size: int, qindex: int,
 
 @partial(jax.jit,
          static_argnames=("bs", "tx_size", "modes", "bd", "angle_deltas",
-                          "valid_h", "paired"))
+                          "valid_h", "paired", "uv_tx"))
 def _wavefront_impl(src, rd, bs: int, tx_size: int,
                     modes: tuple = DEFAULT_MODES, bd: int = 8,
                     angle_deltas: tuple = (0,), valid_h: int = None,
-                    paired: bool = False):
+                    paired: bool = False, uv_tx: bool = False):
     """src [B, h, w] uint8/int32 (h, w multiples of 2*bs) →
     (cand_idx [B, bh, bw], levels [B, bh, bw, bs, bs], recon [B, h, w]).
 
@@ -204,7 +205,7 @@ def _wavefront_impl(src, rd, bs: int, tx_size: int,
     blocks overhanging an SB-padded bottom predict bit-identically to a
     conformant decoder at the true frame size."""
     return _wavefront_body(src, rd, None, None, None, None, bs, tx_size, 0,
-                           modes, bd, angle_deltas, valid_h, paired)
+                           modes, bd, angle_deltas, valid_h, paired, uv_tx)
 
 
 @partial(jax.jit,
@@ -234,7 +235,8 @@ def _wavefront_mixed_impl(src, rd, extra_preds, extra_rate, extra_ok,
 
 def _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok, intra_ok,
                     bs: int, tx_size: int, n_extra: int, modes, bd: int,
-                    angle_deltas, valid_h, paired: bool = False):
+                    angle_deltas, valid_h, paired: bool = False,
+                    uv_tx: bool = False):
     dqdc, dqac, lam, mode_rate = rd
     B, h, w = src.shape
     vh = h if valid_h is None else valid_h
@@ -249,29 +251,34 @@ def _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok, intra_ok,
 
     ar = jnp.arange(bs)
 
-    def gather_rows(plane, y, x):
-        # plane [B,h,w]; y,x [D] → [B, D, bs] row at y, cols x..x+bs-1
-        return plane[:, y[:, None], x[:, None] + ar[None, :]]
-
-    def gather_cols(plane, y, x):
-        rows = jnp.minimum(y[:, None] + ar[None, :], vh - 1)
-        return plane[:, rows, x[:, None]]
-
+    # The scan carry holds ONLY the coding-order boundary state: the
+    # bottom row of every completed block (rowbuf [B, bh, w]) and the
+    # right column (colbuf [B, h, bw]) — ~2MB at 1080p vs the 33MB full
+    # recon.  The full-plane carry's dynamic gather/scatter dominated the
+    # REAL device time (~1ms/step, measured with fetch-synced timing; the
+    # full recon assembles from the per-step block outputs afterwards).
     def gather_blocks(plane, y, x):
         return plane[:, y[:, None, None] + ar[None, :, None],
                      x[:, None, None] + ar[None, None, :]]
 
-    def sub_step(recon, rs, cs, valid, has_tr, has_bl):
-        """Encode one z-position's D blocks; returns updated recon +
-        (best candidate index, levels) [B, D, ...]."""
+    def sub_step(carry, rs, cs, valid, has_tr, has_bl):
+        """Encode one z-position's D blocks; returns updated boundary
+        buffers + (best candidate index, levels, recon block)."""
+        rowbuf, colbuf = carry
         y = rs * bs
         x = cs * bs
         ha = (rs > 0)[None, :, None]                     # [1, D, 1]
         hl = (cs > 0)[None, :, None]
+        rm1 = jnp.maximum(rs - 1, 0)
+        cm1 = jnp.maximum(cs - 1, 0)
 
-        above_real = gather_rows(recon, jnp.maximum(y - 1, 0), x)
-        left_real = gather_cols(recon, y, jnp.maximum(x - 1, 0))
-        corner_real = recon[:, jnp.maximum(y - 1, 0), jnp.maximum(x - 1, 0)]
+        # above row (bottom row of the block above), left col (right col
+        # of the block left), corner, TR/BL extensions — all from the
+        # boundary buffers; bottom-edge rows clamp at vh-1 (§7.11.2 maxY)
+        above_real = rowbuf[:, rm1[:, None], x[:, None] + ar[None, :]]
+        lrows = jnp.minimum(y[:, None] + ar[None, :], vh - 1)
+        left_real = colbuf[:, lrows, cm1[:, None]]
+        corner_real = rowbuf[:, rm1, jnp.maximum(x - 1, 0)]
 
         above = jnp.where(ha, above_real,
                           jnp.where(hl, left_real[..., 0:1], base - 1))
@@ -284,10 +291,11 @@ def _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok, intra_ok,
 
         # top-right / bottom-left extensions (replicate when unavailable —
         # the schedule guarantees available ones are already in the carry)
-        tr_real = gather_rows(recon, jnp.maximum(y - 1, 0),
-                              jnp.minimum(x + bs, w - bs))
-        bl_real = gather_cols(recon, jnp.minimum(y + bs, h - bs),
-                              jnp.maximum(x - 1, 0))
+        tr_real = rowbuf[:, rm1[:, None],
+                         jnp.minimum(x + bs, w - bs)[:, None] + ar[None, :]]
+        brows = jnp.minimum(jnp.minimum(y + bs, h - bs)[:, None] +
+                            ar[None, :], vh - 1)
+        bl_real = colbuf[:, brows, cm1[:, None]]
         htr = has_tr[None, :, None]
         hbl = has_bl[None, :, None]
         above_ext = jnp.concatenate(
@@ -342,11 +350,40 @@ def _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok, intra_ok,
         rate_s = jnp.stack(rates)                        # [C, BD]
         flat = pred_s.reshape(C * B * D, bs, bs)
         resid = jnp.tile(f_src, (C, 1, 1)) - flat
-        coeff = fwd_txfm2d(resid, tx_size, DCT_DCT, bd)
-        lev = quantize_dq(coeff, tx_size, dqdc, dqac, bd)
-        dq = dequantize_dq(lev, tx_size, dqdc, dqac, bd)
-        recb = add_residual_clip(flat, inv_txfm2d(dq, tx_size, DCT_DCT, bd),
-                                 bd)
+        # chroma intra txbs use the uv_mode-implied tx type (spec
+        # compute_tx_type; reference EbCommonUtils.h:67) — group the
+        # candidate stack by type, one chain per distinct type (<=4)
+        if uv_tx:
+            from ..spec.txfm import uv_intra_tx_type
+            types = [uv_intra_tx_type(m, tx_size) for m, _ in cands] + \
+                [DCT_DCT] * n_extra
+        else:
+            types = [DCT_DCT] * C
+
+        def txchain(res, tt):
+            lv = quantize_dq(fwd_txfm2d(res, tx_size, tt, bd), tx_size,
+                             dqdc, dqac, bd)
+            dqv = dequantize_dq(lv, tx_size, dqdc, dqac, bd)
+            return lv, inv_txfm2d(dqv, tx_size, tt, bd)
+
+        if len(set(types)) == 1:
+            lev, inv = txchain(resid, types[0])
+        else:
+            resid_c = resid.reshape(C, B * D, bs, bs)
+            lev_slots = [None] * C
+            inv_slots = [None] * C
+            for tt in sorted(set(types)):
+                idxs = [i for i, t in enumerate(types) if t == tt]
+                sub = jnp.concatenate([resid_c[i] for i in idxs])
+                lv, iv = txchain(sub, tt)
+                lv = lv.reshape(len(idxs), B * D, bs, bs)
+                iv = iv.reshape(len(idxs), B * D, bs, bs)
+                for k, i in enumerate(idxs):
+                    lev_slots[i] = lv[k]
+                    inv_slots[i] = iv[k]
+            lev = jnp.concatenate(lev_slots).reshape(C * B * D, bs, bs)
+            inv = jnp.concatenate(inv_slots).reshape(C * B * D, bs, bs)
+        recb = add_residual_clip(flat, inv, bd)
         sse = jnp.sum((jnp.tile(f_src, (C, 1, 1)) - recb) ** 2,
                       axis=(-1, -2)).astype(jnp.float32).reshape(C, B * D)
         cost = sse + lam * (rate_s +
@@ -369,18 +406,24 @@ def _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok, intra_ok,
         best_lev = jnp.take_along_axis(lev_c, sel, axis=0)[0]
         best_rec = jnp.take_along_axis(rec_c, sel, axis=0)[0]
 
-        # scatter recon blocks (invalid lanes → dropped via OOB row index)
+        # update boundary buffers (invalid lanes → dropped via OOB index)
         rec_d = best_rec.reshape(B, D, bs, bs)
-        y_eff = jnp.where(valid, y, h + bs)              # OOB → drop
-        rows = y_eff[:, None, None] + ar[None, :, None]
-        colx = x[:, None, None] + ar[None, None, :]
-        recon = recon.at[:, rows, colx].set(rec_d, mode="drop")
-        return recon, best_mi.reshape(B, D), best_lev.reshape(B, D, bs, bs)
+        rs_eff = jnp.where(valid, rs, bh)                # OOB → drop
+        y_eff = jnp.where(valid, y, h + bs)
+        rowbuf = rowbuf.at[:, rs_eff[:, None],
+                           x[:, None] + ar[None, :]].set(
+            rec_d[:, :, -1, :], mode="drop")
+        colbuf = colbuf.at[:, y_eff[:, None] + ar[None, :],
+                           cs[:, None]].set(
+            rec_d[:, :, :, -1], mode="drop")
+        return ((rowbuf, colbuf), best_mi.reshape(B, D),
+                best_lev.reshape(B, D, bs, bs), rec_d)
 
-    def step(recon, xs):
+    def step(carry, xs):
         rs, cs, valid, has_tr, has_bl = xs               # each [D]
-        recon, mi, lev = sub_step(recon, rs, cs, valid, has_tr, has_bl)
-        return recon, (mi, lev)
+        carry, mi, lev, rec = sub_step(carry, rs, cs, valid, has_tr,
+                                       has_bl)
+        return carry, (mi, lev, rec)
 
     # z-positions FOLD INTO the scan axis (z-order preserved: the xs
     # sequence is step-major, z-minor) — the scan body holds ONE
@@ -388,20 +431,27 @@ def _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok, intra_ok,
     # Program size is a first-class cost here: the executable uploads
     # through the same ~30MB/s tunnel as the data.
     fold = lambda a: a.reshape((-1,) + a.shape[2:])
-    recon0 = jnp.zeros((B, h, w), jnp.int32)
-    recon, (mi_d, lev_d) = jax.lax.scan(
-        step, recon0, tuple(jnp.asarray(fold(a)) for a in
+    carry0 = (jnp.zeros((B, bh, w), jnp.int32),
+              jnp.zeros((B, h, bw), jnp.int32))
+    _, (mi_d, lev_d, rec_d) = jax.lax.scan(
+        step, carry0, tuple(jnp.asarray(fold(a)) for a in
                             (rs_t, cs_t, valid_t, has_tr_t, has_bl_t)))
-    # mi_d [nsteps*4, B, D]; lev_d [nsteps*4, B, D, bs, bs]
+    # mi_d [nsteps*4, B, D]; lev_d/rec_d [nsteps*4, B, D, bs, bs]
 
-    # un-diagonalize: → [B, bh, bw, ...]
+    # un-diagonalize: → [B, bh, bw, ...]; recon assembles from the
+    # per-step block outputs (ONE scatter, outside the scan)
     flat_idx = rs_t * bw + cs_t                          # [nsteps, 4, D]
     mode_idx = jnp.zeros((B, bh * bw), jnp.int32)
     levels = jnp.zeros((B, bh * bw, bs, bs), jnp.int32)
+    recon_b = jnp.zeros((B, bh * bw, bs, bs), jnp.int32)
     idx = jnp.asarray(np.where(fold(valid_t), fold(flat_idx), bh * bw))
     mode_idx = mode_idx.at[:, idx].set(
         jnp.moveaxis(mi_d, 1, 0), mode="drop")
     levels = levels.at[:, idx].set(
         jnp.moveaxis(lev_d, 1, 0), mode="drop")
+    recon_b = recon_b.at[:, idx].set(
+        jnp.moveaxis(rec_d, 1, 0), mode="drop")
+    recon = recon_b.reshape(B, bh, bw, bs, bs).transpose(
+        0, 1, 3, 2, 4).reshape(B, h, w)
     return (mode_idx.reshape(B, bh, bw),
             levels.reshape(B, bh, bw, bs, bs), recon)

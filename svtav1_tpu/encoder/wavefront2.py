@@ -37,6 +37,20 @@ SUB_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED,
              intra.SMOOTH_PRED, intra.SMOOTH_V_PRED, intra.SMOOTH_H_PRED,
              intra.PAETH_PRED)
 
+# chroma mode decision lists (paired u/v wavefront): top/SB chroma blocks
+# sit at quad z-positions with full extended-edge availability; 8x8 subs
+# under SPLIT use the Z2-safe set like luma subs
+CHROMA_TOP_MODES = (intra.DC_PRED, intra.V_PRED, intra.H_PRED,
+                    intra.D45_PRED, intra.D135_PRED, intra.D113_PRED,
+                    intra.D157_PRED, intra.D203_PRED, intra.D67_PRED,
+                    intra.SMOOTH_PRED, intra.SMOOTH_V_PRED,
+                    intra.SMOOTH_H_PRED, intra.PAETH_PRED)
+CHROMA_SUB_MODES = SUB_MODES
+# SB-depth chroma (32x32 under a 64x64 NONE) keeps the Z2-safe set: its
+# above-right/below-left availability at that depth is not modeled by the
+# quad tables, so extended-edge modes are excluded outright
+CHROMA_SB_MODES = SUB_MODES
+
 
 def _cdf_sym_bits(table, sym):
     hi = 32768 if sym == 0 else int(table[sym - 1])
@@ -110,7 +124,10 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 sb_search: bool = False, tx_sb: int = None,
                                 extra_sb=None, extra_rate_sb=None,
                                 extra_ok_sb=None, intra_ok_sb=None,
-                                force_sb=None, valid_h: int = None):
+                                force_sb=None, valid_h: int = None,
+                                paired: bool = False, uv_rates: bool = False,
+                                modes_sbl: tuple = None,
+                                uv_tx: bool = False):
     """Public wrapper: computes the per-qindex RD inputs host-side and
     passes them traced so per-frame q changes reuse the compilation.
 
@@ -133,16 +150,21 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
     dc, ac = tbl.qindex_to_dq(qindex, bd)
     bn, bsp = partition_bits(qindex, bs)
     mode_ids = np.array([m for m, _ in cands_sub], np.int32)
+    rate_kf = "uv" if uv_rates else kf
     if sb_search:
         bn2, bsp2 = partition_bits_sb(qindex, 2 * bs)
-        rate_sb = intra_mode_rate_table(cands_top, qindex, kf=kf)
+        rate_sb = intra_mode_rate_table(
+            expand_candidates(modes_sbl or modes_top, angle_deltas),
+            qindex, kf=rate_kf)
     else:
         bn2 = bsp2 = 0.0
         rate_sb = np.zeros(1, np.float32)
     rd = (jnp.int32(dc), jnp.int32(ac),
           jnp.float32(_lambda(qindex) * lam_scale),
-          jnp.asarray(intra_mode_rate_table(cands_top, qindex, kf=kf)),
-          jnp.asarray(intra_mode_rate_table(cands_sub, qindex, kf=kf)),
+          jnp.asarray(intra_mode_rate_table(cands_top, qindex,
+                                            kf=rate_kf)),
+          jnp.asarray(intra_mode_rate_table(cands_sub, qindex,
+                                            kf=rate_kf)),
           jnp.float32(bn), jnp.float32(bsp),
           jnp.asarray(txt_rate_table(qindex)), jnp.asarray(mode_ids),
           jnp.asarray(rate_sb), jnp.float32(bn2), jnp.float32(bsp2))
@@ -153,14 +175,15 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 extra_ok_sb, intra_ok_sb, force_sb,
                                 bs, tx_top, tx_sub, n_extra,
                                 modes_top, modes_sub, bd, angle_deltas, kf,
-                                tx_search, sb_search, tx_sb, valid_h)
+                                tx_search, sb_search, tx_sb, valid_h,
+                                paired, modes_sbl, uv_tx)
 
 
 @partial(jax.jit,
          static_argnames=("bs", "tx_top", "tx_sub", "modes_top",
                           "modes_sub", "bd", "angle_deltas", "n_extra",
                           "kf", "tx_search", "sb_search", "tx_sb",
-                          "valid_h"))
+                          "valid_h", "paired", "modes_sbl", "uv_tx"))
 def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                          extra_sub, extra_rate_sub, extra_ok_top,
                          extra_ok_sub, intra_ok_top, intra_ok_sub,
@@ -171,7 +194,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                          bd: int = 8, angle_deltas: tuple = (0,),
                          kf: bool = True, tx_search: bool = False,
                          sb_search: bool = False, tx_sb: int = None,
-                         valid_h: int = None):
+                         valid_h: int = None, paired: bool = False,
+                         modes_sbl: tuple = None, uv_tx: bool = False):
     """src [B,h,w] → (part [B,bh,bw] int32, mi_top [B,bh,bw],
     lev_top [B,bh,bw,bs,bs], mi_sub [B,bh,bw,4], lev_sub [B,bh,bw,4,h2,h2],
     recon [B,h,w]).
@@ -259,17 +283,40 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                            f_corner, n, bd)
         return intra.predict(mode, f_above, f_left, f_corner)
 
-    def stack_eval(preds, rates, oks, f_src, tx_size, n, tx_bits, txq_fn):
+    def stack_eval(preds, rates, oks, f_src, tx_size, n, tx_bits, txq_fn,
+                   tx_types=None):
         """ALL candidates through ONE txq chain: preds/rates/oks are
         parallel lists ([BD,n,n] / [BD] or scalar / [BD] bool or None).
         argmin keeps the first minimum — identical tie-break to the old
-        sequential `_take` loop.  Returns the old best-pack tuple."""
+        sequential `_take` loop.  Returns the old best-pack tuple.
+
+        paired (closure): u/v halves of the batch axis pick the SAME
+        candidate (one signaled uv_mode) — pair costs sum before argmin.
+        tx_types: per-candidate tx type (chroma-intra implied types,
+        spec compute_tx_type) — candidates group by type, one chain per
+        distinct type (<=4)."""
         C = len(preds)
         BD = preds[0].shape[0]
         pred_s = jnp.stack(preds)                      # [C, BD, n, n]
-        lev, recb, sse, rb = txq_fn(
-            pred_s.reshape(C * BD, n, n),
-            jnp.tile(f_src, (C, 1, 1)))
+        if tx_types is None or len(set(tx_types)) == 1:
+            tt0 = DCT_DCT if tx_types is None else tx_types[0]
+            lev, recb, sse, rb = txq_fn(
+                pred_s.reshape(C * BD, n, n),
+                jnp.tile(f_src, (C, 1, 1)), tt0)
+        else:
+            slots = [None] * C
+            for tt in sorted(set(tx_types)):
+                idxs = [i for i, t in enumerate(tx_types) if t == tt]
+                sub = jnp.concatenate([pred_s[i] for i in idxs])
+                out = txq_fn(sub, jnp.tile(f_src, (len(idxs), 1, 1)), tt)
+                for k, i in enumerate(idxs):
+                    slots[i] = tuple(o.reshape((len(idxs), BD) +
+                                               o.shape[1:])[k]
+                                     for o in out)
+            lev = jnp.concatenate([s[0] for s in slots])
+            recb = jnp.concatenate([s[1] for s in slots])
+            sse = jnp.concatenate([s[2] for s in slots])
+            rb = jnp.concatenate([s[3] for s in slots])
         sse = sse.reshape(C, BD)
         rb = rb.reshape(C, BD)
         rate_s = jnp.stack([jnp.broadcast_to(r, (BD,)) for r in rates])
@@ -278,7 +325,11 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         ok_s = jnp.stack([jnp.ones((BD,), bool) if o is None else o
                           for o in oks])
         cost_s = jnp.where(ok_s, cost_s, BIG)
-        mi = jnp.argmin(cost_s, axis=0).astype(jnp.int32)
+        if paired:
+            cp = cost_s.reshape(C, 2, BD // 2).sum(1)
+            mi = jnp.tile(jnp.argmin(cp, axis=0), 2).astype(jnp.int32)
+        else:
+            mi = jnp.argmin(cost_s, axis=0).astype(jnp.int32)
         sel = mi[None]
         cost = jnp.take_along_axis(cost_s, sel, 0)[0]
         rcost = jnp.take_along_axis(rcost_s, sel, 0)[0]
@@ -306,9 +357,16 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
             rates.append(rate)
             oks.append(ok)
         n_intra = len(cands)
+        if uv_tx:
+            from ..spec.txfm import uv_intra_tx_type
+            ttypes = [uv_intra_tx_type(m, tx_size) for m, _ in cands] + \
+                [DCT_DCT] * len(extras)
+        else:
+            ttypes = None
         cost, mi, lev, recb, pred, rcost = stack_eval(
             preds, rates, oks, f_src, tx_size, n, tx_bits,
-            lambda p, s: txq(p, s, tx_size, n, tx_bits))
+            lambda p, s, tt: txq(p, s, tx_size, n, tx_bits, tt),
+            tx_types=ttypes)
         tx_idx = jnp.zeros_like(mi)
         if tx_search:
             m_ids = mode_ids[jnp.clip(mi, 0, len(mode_ids) - 1)]
@@ -389,9 +447,16 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
             preds_t.append(fb(extra_top[:, e][:, rs, cs]))
             rates_t.append(extra_rate_top[:, e][:, rs, cs].reshape(-1))
             oks_t.append(extra_ok_top[:, e][:, rs, cs].reshape(-1))
+        if uv_tx:
+            from ..spec.txfm import uv_intra_tx_type
+            tt_top = [uv_intra_tx_type(m, tx_top) for m, _ in cands_top] \
+                + [DCT_DCT] * n_extra
+        else:
+            tt_top = None
         best_top = stack_eval(
             preds_t, rates_t, oks_t, f_src, tx_top, bs, txb_top,
-            lambda p, s: txq(p, s, tx_top, bs, txb_top))
+            lambda p, s, tt: txq(p, s, tx_top, bs, txb_top, tt),
+            tx_types=tt_top)
 
         # ---- SPLIT evaluation: 4 z-order sub-blocks ---------------------
         loc = jnp.zeros((B * D, bs, bs), jnp.int32)
@@ -477,7 +542,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
     # SB is on an earlier 2:1 diagonal, below-left never available).
     nC = 32 if bs2 == 64 else bs2          # coded coefficient area
     ar_sb = jnp.arange(bs2)
-    cands_sbl = expand_candidates(modes_top, angle_deltas)
+    cands_sbl = expand_candidates(modes_sbl or modes_top, angle_deltas)
     txb_sb = 0.0 if kf else 1.0
 
     def txq_sb(pred, f_src):
@@ -545,7 +610,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
             rates_b.append(extra_rate_sb[:, e][:, sbr, sbc].reshape(-1))
             oks_b.append(extra_ok_sb[:, e][:, sbr, sbc].reshape(-1))
         best = stack_eval(preds_b, rates_b, oks_b, f_src, tx_sb, bs2,
-                          txb_sb, lambda p, s: txq_sb(p, s))
+                          txb_sb, lambda p, s, tt: txq_sb(p, s))
         return best[0], best[1], best[2], best[3]
 
     def step(recon, xs):

@@ -44,12 +44,13 @@ def scan_pack(levels, tx_size: int, tx_type: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _prefix16(scanned, k: int):
-    """First k scan positions as int16 + an overflow flag (any |level|
-    beyond int16 anywhere — pathological, triggers a dense refetch)."""
-    p = scanned.reshape(-1, scanned.shape[-1])[:, :k]
-    big = jnp.max(jnp.abs(scanned)) > 32767
-    return p.astype(jnp.int16), big
+def _prefix8(scanned, k: int):
+    """First k scan positions as int8 + each block's max |level| (the
+    host dense-fetches blocks whose levels overflow int8 or whose eob
+    exceeds k)."""
+    flat = scanned.reshape(-1, scanned.shape[-1])
+    mx = jnp.max(jnp.abs(flat), axis=-1)
+    return flat[:, :k].astype(jnp.int8), mx.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -68,17 +69,17 @@ def fetch_scanned(scanned, eob) -> np.ndarray:
     for kc in _K_CHOICES:
         if kc >= n:
             break
-        if int((eob_np > kc).sum()) <= max(8, nb // 64):
+        if int((eob_np > kc).sum()) <= max(8, nb // 32):
             k = kc
             break
-    if k >= n:
-        return np.asarray(scanned).reshape(nb, n)
-    p16, big = _prefix16(scanned, k)
-    if bool(big):
-        return np.asarray(scanned).reshape(nb, n)
+    p8, mx = _prefix8(scanned, min(k, n))
+    p8 = np.asarray(p8)
+    mx = np.asarray(mx)
     sc = np.zeros((nb, n), np.int32)
-    sc[:, :k] = np.asarray(p16)
-    ovf = np.nonzero(eob_np > k)[0]
+    sc[:, :p8.shape[1]] = p8
+    ovf = np.nonzero((eob_np > k) | (mx > 127))[0]
+    if ovf.size > nb // 4:
+        return np.asarray(scanned).reshape(nb, n)       # mostly dense
     if ovf.size:
         m = 1 << max(3, int(np.ceil(np.log2(ovf.size))))
         idx = np.zeros(m, np.int32)

@@ -44,6 +44,35 @@ TX_TYPES = 16
 # 1D transform kinds
 DCT_1D, ADST_1D, FLIPADST_1D, IDTX_1D = range(4)
 
+# chroma-intra implied transform type per uv_mode (spec compute_tx_type /
+# reference intra_mode_to_tx_type, EbCommonUtils.h:67-87): chroma intra
+# txbs do NOT signal a tx type — it derives from the uv prediction mode,
+# clamped to DCT_DCT when the (sqr-up) tx size exceeds 16x16 or the set
+# disallows it.  All DTT4 members share the default scan and the 2D
+# coefficient-context class, so entropy coding is unaffected.
+UV_MODE_TX_TYPE = (DCT_DCT,    # DC
+                   ADST_DCT,   # V
+                   DCT_ADST,   # H
+                   DCT_DCT,    # D45
+                   ADST_ADST,  # D135
+                   ADST_DCT,   # D113
+                   DCT_ADST,   # D157
+                   DCT_ADST,   # D203
+                   ADST_DCT,   # D67
+                   ADST_ADST,  # SMOOTH
+                   ADST_DCT,   # SMOOTH_V
+                   DCT_ADST,   # SMOOTH_H
+                   ADST_ADST)  # PAETH
+
+
+def uv_intra_tx_type(uv_mode: int, tx_size: int) -> int:
+    """Implied chroma-intra tx type, with the size clamp (sqr-up > 16x16
+    or a set without the type -> DCT_DCT)."""
+    from . import tables as _tbl
+    if _tbl.txsize_sqr_up(tx_size) > TX_16X16:
+        return DCT_DCT
+    return UV_MODE_TX_TYPE[uv_mode]
+
 # vertical (column) / horizontal (row) 1D kind per 2D type
 VTX_TAB = [DCT_1D, ADST_1D, DCT_1D, ADST_1D, FLIPADST_1D, DCT_1D,
            FLIPADST_1D, ADST_1D, FLIPADST_1D, IDTX_1D, DCT_1D, IDTX_1D,

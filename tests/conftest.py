@@ -20,11 +20,19 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: partition/inter wavefronts take minutes to
 # compile per shape on CPU — cache them across test runs.  The path is
-# keyed per machine: round 3's shared /tmp/jax_cache_svtav1 accumulated
-# XLA:CPU AOT artifacts from a different host (machine-feature mismatch
-# spam + timeouts, MULTICHIP_r03.json).
-import platform  # noqa: E402
+# keyed by a CPU-feature fingerprint: round 3's shared
+# /tmp/jax_cache_svtav1 accumulated XLA:CPU AOT artifacts from a
+# DIFFERENT machine (identical hostname, shared /tmp across the fleet)
+# which mis-executed after loading (machine-feature mismatch spam,
+# wrong results, MULTICHIP_r03.json rc=124).
+import hashlib  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_cache_svtav1_{platform.node()}")
+_fpsrc = ""
+for _p in ("/etc/machine-id", "/proc/cpuinfo"):
+    try:
+        _fpsrc += open(_p).read()
+    except Exception:
+        pass
+_fp = hashlib.sha1(_fpsrc.encode()).hexdigest()[:12]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_svt_{_fp}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

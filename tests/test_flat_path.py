@@ -71,3 +71,47 @@ def test_flat_path_roundtrip_own_decoder():
     np.testing.assert_array_equal(np.asarray(rec[0], np.uint8), dy)
     np.testing.assert_array_equal(np.asarray(rec[1], np.uint8), du)
     np.testing.assert_array_equal(np.asarray(rec[2], np.uint8), dv)
+
+
+@pytest.mark.slow
+def test_flat_path_dav1d_conformance(tmp_path):
+    """Flat-path streams (searched uv_mode + implied chroma tx types) must
+    decode frame-exactly in dav1d — the chroma-MD change made this path's
+    conformance depend on the Mode_To_Txfm_Type rule (spec compute_tx_type,
+    reference EbCommonUtils.h:67), which our own decoder alone can't catch
+    (it shares the encoder's assumptions)."""
+    import subprocess
+    from pathlib import Path
+
+    from svtav1_tpu.utils.ivf import IvfWriter
+
+    av1dec = Path(__file__).parent.parent / "tools" / "av1dec"
+    if not av1dec.exists():
+        pytest.skip("no av1dec oracle")
+    w, h, n = 128, 64, 2
+    enc = IntraEncoder(EncoderConfig(w, h, qindex=100, part_search=False))
+    recs = []
+    ivf_path = tmp_path / "flat.ivf"
+    with open(ivf_path, "wb") as f:
+        ivf = IvfWriter(f, w, h)
+        for i in range(n):
+            payload, rec = enc.encode_frame(*_synth(w, h, i))
+            recs.append(tuple(np.asarray(p) for p in rec))
+            ivf.write_frame(payload, i)
+    yuv = tmp_path / "flat.yuv"
+    r = subprocess.run([str(av1dec), str(ivf_path), str(yuv)],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    raw = yuv.read_bytes()
+    ys, cs = w * h, (w // 2) * (h // 2)
+    fs = ys + 2 * cs
+    for i, rec in enumerate(recs):
+        off = i * fs
+        dy = np.frombuffer(raw[off:off + ys], np.uint8).reshape(h, w)
+        du = np.frombuffer(raw[off + ys:off + ys + cs],
+                           np.uint8).reshape(h // 2, w // 2)
+        dv = np.frombuffer(raw[off + ys + cs:off + fs],
+                           np.uint8).reshape(h // 2, w // 2)
+        np.testing.assert_array_equal(rec[0], dy)
+        np.testing.assert_array_equal(rec[1], du)
+        np.testing.assert_array_equal(rec[2], dv)
