@@ -238,11 +238,15 @@ class VideoEncoder:
     _anchor_mult = 0.85                # updated per GoP by _tpl_boost
 
     def _tpl_boost(self, gframes):
-        """TPL-lite (frame level): measure how well the GoP's interior
-        frames are predicted from its anchor (decimated SAD vs a local
-        activity proxy) and deepen the anchor q boost accordingly —
-        the frame-level effect of the reference's mb_tree-style TPL
-        backprop (Docs/Appendix-TPL.md) without the per-SB pass."""
+        """TPL-lite: measure how well the GoP's interior frames are
+        predicted from its anchor (decimated SAD vs a local activity
+        proxy) and (a) deepen the anchor q boost globally, (b) build a
+        PER-32x32-BLOCK lambda map for the anchor — blocks whose pixels
+        propagate (low future residual) price rate cheaper and soak up
+        bits, chaotic blocks the opposite.  The per-SB analogue of the
+        reference's TPL backprop (EbSourceBasedOperationsProcess.c
+        :1347-1882, Docs/Appendix-TPL.md) without the recon dispenser."""
+        self._lam_map_np = None
         if len(gframes) < 2:
             self._anchor_mult = 0.85
             return
@@ -259,6 +263,28 @@ class VideoEncoder:
         # pq ~1: static/well-predicted → anchor bits propagate far;
         # pq ~0: chaotic → no propagation, keep anchors near base q
         self._anchor_mult = float(np.clip(0.92 - 0.18 * pq, 0.72, 0.92))
+        # per-block map (8x8 decimated pixels per 32x32 block, padded to
+        # the SB-aligned grid the wavefront sees)
+        bh, bw = self.intra.ph // BLK, anchor.shape[1] * 4 // BLK
+        H8, W8 = bh * 8, bw * 8
+        apad = np.pad(anchor, ((0, max(0, H8 - anchor.shape[0])),
+                               (0, max(0, W8 - anchor.shape[1]))),
+                      mode="edge")[:H8, :W8]
+        blk = lambda a: a.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        ab = blk(apad).astype(np.float32)
+        act_b = (np.abs(np.diff(ab, axis=2)).mean((2, 3)) +
+                 np.abs(np.diff(ab, axis=3)).mean((2, 3)) + 1e-3)
+        p_b = np.zeros((bh, bw), np.float32)
+        for f in gframes[:-1]:
+            fd = np.asarray(f[0], np.int32)[::4, ::4]
+            fpad = np.pad(fd, ((0, max(0, H8 - fd.shape[0])),
+                               (0, max(0, W8 - fd.shape[1]))),
+                          mode="edge")[:H8, :W8]
+            d_b = np.abs(blk(fpad).astype(np.float32) - ab).mean((2, 3))
+            p_b += np.clip(1.0 - d_b / (4.0 * act_b), 0.0, 1.0)
+        p_b /= (len(gframes) - 1)
+        self._lam_map_np = np.clip(1.18 - 0.55 * p_b, 0.68,
+                                   1.18).astype(np.float32)
 
     def _pick_ref(self, y, cand_slots):
         """Choose the reference slot with the lowest decimated-luma SAD
@@ -328,7 +354,9 @@ class VideoEncoder:
             payload, rec, snap = self._encode_p(
                 y, u, v, ref=self._slots[slot], qindex=q,
                 cdf_init=self._slot_cdf.get(slot), hdr_extra=hdr,
-                ref_dist=dist, lam_scale=self._layer_lam(layer))
+                ref_dist=dist, lam_scale=self._layer_lam(layer),
+                lam_map=(getattr(self, "_lam_map_np", None)
+                         if layer == 0 else None))
         rec = tuple(np.asarray(p) for p in rec)
         self._slots[refresh_slot] = rec
         self._slot_cdf[refresh_slot] = snap
@@ -457,11 +485,11 @@ class VideoEncoder:
 
     def _encode_p(self, y, u, v, ref=None, qindex=None,
                   cdf_init="chain", hdr_extra=None, ref_dist=1,
-                  ref2=None, ref2_dist=1, lam_scale=1.0):
+                  ref2=None, ref2_dist=1, lam_scale=1.0, lam_map=None):
         if self.cfg.part_search:
             return self._encode_p_part(y, u, v, ref, qindex, cdf_init,
                                        hdr_extra, ref_dist, ref2,
-                                       ref2_dist, lam_scale)
+                                       ref2_dist, lam_scale, lam_map)
         if ref2 is not None:
             raise NotImplementedError("compound needs part_search")
         cfg = self.cfg
@@ -584,7 +612,8 @@ class VideoEncoder:
 
     def _encode_p_part(self, y, u, v, ref=None, qindex=None,
                        cdf_init="chain", hdr_extra=None, ref_dist=1,
-                       ref2=None, ref2_dist=1, lam_scale=1.0):
+                       ref2=None, ref2_dist=1, lam_scale=1.0,
+                       lam_map=None):
         """P frame with the 32-vs-16 partition decision: separate ME at
         both block sizes, inter candidates at both depths of the
         two-depth wavefront, chroma partition forced by luma.
@@ -831,6 +860,9 @@ class VideoEncoder:
         free_sb = jnp.asarray(np.broadcast_to(free_sb_np, (T, sh, sw_t)))
 
         from ..spec.txfm import TX_64X64
+        lmap_t = None
+        if lam_map is not None:
+            lmap_t = tstack(jnp.asarray(lam_map, jnp.float32)[None], 2)
         (part, y_mi, y_lev, y_smi, y_slev, y_stx, y_rec,
          part_sb, y_mi_sb, y_lev_sb) = \
             encode_plane_wavefront_part(
@@ -841,7 +873,8 @@ class VideoEncoder:
                 cfg.tx_search, lam_scale,
                 sb_search=True, tx_sb=TX_64X64, extra_sb=extra_sb_t,
                 extra_rate_sb=rate_sbl_t, extra_ok_sb=ok_sbl,
-                intra_ok_sb=ones_sb, force_sb=free_sb, valid_h=vh)
+                intra_ok_sb=ones_sb, force_sb=free_sb, valid_h=vh,
+                lam_map=lmap_t)
 
         cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
         cands_sub = expand_candidates(SUB_MODES, (0,))
@@ -978,7 +1011,8 @@ class VideoEncoder:
             extra_sb=uv_psb, extra_rate_sb=two(c_rate_sb),
             extra_ok_sb=two(c_ok_sb), intra_ok_sb=two(~sb_inter),
             force_sb=two(part_sb), valid_h=vhc, paired=True,
-            uv_rates=True, modes_sbl=CHROMA_SB_MODES, uv_tx=True)
+            uv_rates=True, modes_sbl=CHROMA_SB_MODES, uv_tx=True,
+            lam_map=None if lmap_t is None else two(lmap_t))
         TB = uv_mi.shape[0] // 2
         u_mi, u_lev, u_smi, u_slev = (uv_mi[:TB], uv_lev[:TB],
                                       uv_smi[:TB], uv_slev[:TB])

@@ -257,9 +257,10 @@ def _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok, intra_ok,
     # recon.  The full-plane carry's dynamic gather/scatter dominated the
     # REAL device time (~1ms/step, measured with fetch-synced timing; the
     # full recon assembles from the per-step block outputs afterwards).
-    def gather_blocks(plane, y, x):
-        return plane[:, y[:, None, None] + ar[None, :, None],
-                     x[:, None, None] + ar[None, None, :]]
+    # The source pre-blocks OUTSIDE the scan for the same reason: per-step
+    # pixel-space gathers from the 8MB plane are far costlier than an
+    # indexed pick of whole blocks.
+    src_b = src.reshape(B, bh, bs, bw, bs).transpose(0, 1, 3, 2, 4)
 
     def sub_step(carry, rs, cs, valid, has_tr, has_bl):
         """Encode one z-position's D blocks; returns updated boundary
@@ -303,7 +304,7 @@ def _wavefront_body(src, rd, extra_preds, extra_rate, extra_ok, intra_ok,
         left_ext = jnp.concatenate(
             [left, jnp.where(hbl, bl_real, left[..., -1:])], axis=-1)
 
-        blocks = gather_blocks(src, y, x)                # [B, D, bs, bs]
+        blocks = src_b[:, rs, cs]                        # [B, D, bs, bs]
 
         # flatten batch*lane for the candidate stack
         fb = lambda t: t.reshape((B * D,) + t.shape[2:])

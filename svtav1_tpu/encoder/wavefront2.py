@@ -127,7 +127,7 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 force_sb=None, valid_h: int = None,
                                 paired: bool = False, uv_rates: bool = False,
                                 modes_sbl: tuple = None,
-                                uv_tx: bool = False):
+                                uv_tx: bool = False, lam_map=None):
     """Public wrapper: computes the per-qindex RD inputs host-side and
     passes them traced so per-frame q changes reuse the compilation.
 
@@ -159,6 +159,9 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
     else:
         bn2 = bsp2 = 0.0
         rate_sb = np.zeros(1, np.float32)
+    if lam_map is None:
+        B_, h_, w_ = src.shape
+        lam_map = jnp.ones((B_, h_ // bs, w_ // bs), jnp.float32)
     rd = (jnp.int32(dc), jnp.int32(ac),
           jnp.float32(_lambda(qindex) * lam_scale),
           jnp.asarray(intra_mode_rate_table(cands_top, qindex,
@@ -176,7 +179,7 @@ def encode_plane_wavefront_part(src, bs: int, tx_top: int, tx_sub: int,
                                 bs, tx_top, tx_sub, n_extra,
                                 modes_top, modes_sub, bd, angle_deltas, kf,
                                 tx_search, sb_search, tx_sb, valid_h,
-                                paired, modes_sbl, uv_tx)
+                                paired, modes_sbl, uv_tx, lam_map)
 
 
 @partial(jax.jit,
@@ -195,7 +198,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                          kf: bool = True, tx_search: bool = False,
                          sb_search: bool = False, tx_sb: int = None,
                          valid_h: int = None, paired: bool = False,
-                         modes_sbl: tuple = None, uv_tx: bool = False):
+                         modes_sbl: tuple = None, uv_tx: bool = False,
+                         lam_map=None):
     """src [B,h,w] → (part [B,bh,bw] int32, mi_top [B,bh,bw],
     lev_top [B,bh,bw,bs,bs], mi_sub [B,bh,bw,4], lev_sub [B,bh,bw,4,h2,h2],
     recon [B,h,w]).
@@ -232,6 +236,11 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
 
     ar = jnp.arange(bs)
     ar2 = jnp.arange(hs)
+    # pre-blocked source (per-step pixel-space gathers from the full
+    # plane dominate real step time — see wavefront.py)
+    src_b = src.reshape(B, bh, bs, bw, bs).transpose(0, 1, 3, 2, 4)
+    src_sb = src.reshape(B, sh, 2 * bs, sw, 2 * bs).transpose(
+        0, 1, 3, 2, 4)
 
     def gather_rows(plane, y, x, n):
         a = jnp.arange(n)
@@ -284,7 +293,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         return intra.predict(mode, f_above, f_left, f_corner)
 
     def stack_eval(preds, rates, oks, f_src, tx_size, n, tx_bits, txq_fn,
-                   tx_types=None):
+                   tx_types=None, f_lam=None):
         """ALL candidates through ONE txq chain: preds/rates/oks are
         parallel lists ([BD,n,n] / [BD] or scalar / [BD] bool or None).
         argmin keeps the first minimum — identical tie-break to the old
@@ -320,8 +329,9 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         sse = sse.reshape(C, BD)
         rb = rb.reshape(C, BD)
         rate_s = jnp.stack([jnp.broadcast_to(r, (BD,)) for r in rates])
-        rcost_s = sse + lam * rb
-        cost_s = rcost_s + lam * rate_s
+        lamv = lam if f_lam is None else lam * f_lam[None, :]
+        rcost_s = sse + lamv * rb
+        cost_s = rcost_s + lamv * rate_s
         ok_s = jnp.stack([jnp.ones((BD,), bool) if o is None else o
                           for o in oks])
         cost_s = jnp.where(ok_s, cost_s, BIG)
@@ -341,7 +351,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         return cost, mi, lev_b, rec_b, pred_b, rcost
 
     def eval_set(f_src, f_above, f_left, f_corner, f_ha, f_hl, cands,
-                 mode_rates, n, tx_size, tx_bits, f_iok, extras):
+                 mode_rates, n, tx_size, tx_bits, f_iok, extras,
+                 f_lam=None):
         """Best candidate over intra list + extras, then (optionally) RD
         tx-type refinement of intra winners.
         extras: list of (pred [B*D,n,n], rate [B*D], ok [B*D]).
@@ -366,17 +377,18 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         cost, mi, lev, recb, pred, rcost = stack_eval(
             preds, rates, oks, f_src, tx_size, n, tx_bits,
             lambda p, s, tt: txq(p, s, tx_size, n, tx_bits, tt),
-            tx_types=ttypes)
+            tx_types=ttypes, f_lam=f_lam)
         tx_idx = jnp.zeros_like(mi)
         if tx_search:
             m_ids = mode_ids[jnp.clip(mi, 0, len(mode_ids) - 1)]
-            cur_eff = rcost + lam * txt_tbl[m_ids, 0]
+            lamv = lam if f_lam is None else lam * f_lam
+            cur_eff = rcost + lamv * txt_tbl[m_ids, 0]
             is_intra = mi < n_intra
             for ti in range(1, len(TX_SEARCH_TYPES)):
                 tt = TX_SEARCH_TYPES[ti]
                 lev2, recb2, sse2, rb2 = txq(pred, f_src, tx_size, n, 0.0,
                                              tt)
-                new_eff = sse2 + lam * (rb2 + txt_tbl[m_ids, ti])
+                new_eff = sse2 + lamv * (rb2 + txt_tbl[m_ids, ti])
                 take = is_intra & (new_eff < cur_eff)
                 t3 = take[:, None, None]
                 cost = jnp.where(take, cost - cur_eff + new_eff, cost)
@@ -425,7 +437,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         left_ext = jnp.concatenate(
             [left, jnp.where(hbl, bl_real, left[..., -1:])], axis=-1)
 
-        blocks = gather_blocks(src, y, x, bs)
+        blocks = src_b[:, rs, cs]
 
         fb = lambda t: t.reshape((B * D,) + t.shape[2:])
         f_src = fb(blocks)
@@ -434,6 +446,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         f_ha = jnp.broadcast_to(ha1, (B, D)).reshape(-1)
         f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
         f_iok = intra_ok_top[:, rs, cs].reshape(-1)
+        f_lam = lam_map[:, rs, cs].reshape(-1)
 
         # ---- whole-block (NONE) evaluation, incl. extended-edge modes ---
         preds_t, rates_t, oks_t = [], [], []
@@ -456,7 +469,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         best_top = stack_eval(
             preds_t, rates_t, oks_t, f_src, tx_top, bs, txb_top,
             lambda p, s, tt: txq(p, s, tx_top, bs, txb_top, tt),
-            tx_types=tt_top)
+            tx_types=tt_top, f_lam=f_lam)
 
         # ---- SPLIT evaluation: 4 z-order sub-blocks ---------------------
         loc = jnp.zeros((B * D, bs, bs), jnp.int32)
@@ -507,7 +520,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
             f_iok_sub = intra_ok_sub[:, rs, cs, z].reshape(-1)
             cost, mi, lev, recb, stx = eval_set(
                 s_src, s_above, s_left, s_corner, s_ha, s_hl, cands_sub,
-                rate_sub, hs, tx_sub, txb_sub, f_iok_sub, extras)
+                rate_sub, hs, tx_sub, txb_sub, f_iok_sub, extras,
+                f_lam=f_lam)
             sub_cost = sub_cost + cost
             sub_mi.append(mi)
             sub_lev.append(lev)
@@ -515,8 +529,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
             loc = loc.at[:, oy:oy + hs, ox:ox + hs].set(recb)
 
         # ---- choose ----------------------------------------------------
-        cost_none = best_top[0] + lam * bits_none
-        cost_split = sub_cost + lam * bits_split
+        cost_none = best_top[0] + lam * f_lam * bits_none
+        cost_split = sub_cost + lam * f_lam * bits_split
         fp = force_part[:, rs, cs].reshape(-1)
         split = jnp.where(fp < 0, cost_split < cost_none, fp == 1)
         cost_tree = jnp.minimum(cost_none, cost_split)
@@ -589,7 +603,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         left_ext = jnp.concatenate(
             [left, left[..., -1:].repeat(bs2, -1)], axis=-1)
 
-        blocks = gather_blocks(src, y, x, bs2)
+        blocks = src_sb[:, sbr, sbc]
         fb = lambda t: t.reshape((B * D,) + t.shape[2:])
         f_src = fb(blocks)
         f_above, f_left, f_corner = map(fb, (above, left, corner))
@@ -597,6 +611,7 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         f_ha = jnp.broadcast_to(ha1, (B, D)).reshape(-1)
         f_hl = jnp.broadcast_to(hl1, (B, D)).reshape(-1)
         f_iok = intra_ok_sb[:, sbr, sbc].reshape(-1)
+        f_lam_sb = lam_map[:, 2 * sbr, 2 * sbc].reshape(-1)
 
         preds_b, rates_b, oks_b = [], [], []
         for mi, (mode, delta) in enumerate(cands_sbl):
@@ -610,7 +625,8 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
             rates_b.append(extra_rate_sb[:, e][:, sbr, sbc].reshape(-1))
             oks_b.append(extra_ok_sb[:, e][:, sbr, sbc].reshape(-1))
         best = stack_eval(preds_b, rates_b, oks_b, f_src, tx_sb, bs2,
-                          txb_sb, lambda p, s, tt: txq_sb(p, s))
+                          txb_sb, lambda p, s, tt: txq_sb(p, s),
+                          f_lam=f_lam_sb)
         return best[0], best[1], best[2], best[3]
 
     def step(recon, xs):
@@ -628,8 +644,9 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         main = tuple(jnp.stack([o[k] for o in outs], 1) for k in range(6))
         if not sb_search:
             return recon, main
-        cost_none = sb_cost.reshape(B, D) + lam * bits_none_sb
-        cost_split = cost_tot + lam * bits_split_sb
+        lam_sb = lam * lam_map[:, rs[0], cs[0]]
+        cost_none = sb_cost.reshape(B, D) + lam_sb * bits_none_sb
+        cost_split = cost_tot + lam_sb * bits_split_sb
         fsb = force_sb[:, sbr, sbc]
         use_sb = jnp.where(fsb < 0, cost_none < cost_split, fsb == 0)
         y = sbr * bs2

