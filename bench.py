@@ -169,6 +169,10 @@ def main():
         RESULT.setdefault("error", str(e)[:200])
     signal.alarm(0)
     print(json.dumps(RESULT), flush=True)
+    # hard-exit: encoder thread pools and the TPU client keep non-daemon
+    # threads alive, and a bench that prints but never exits reads as
+    # rc=124 to the driver (round 3's failure mode)
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -263,6 +263,9 @@ class VideoEncoder:
         # pq ~1: static/well-predicted → anchor bits propagate far;
         # pq ~0: chaotic → no propagation, keep anchors near base q
         self._anchor_mult = float(np.clip(0.92 - 0.18 * pq, 0.72, 0.92))
+        import os
+        if os.environ.get("SVT_TPU_NO_TPL"):
+            return
         # per-block map (8x8 decimated pixels per 32x32 block, padded to
         # the SB-aligned grid the wavefront sees)
         bh, bw = self.intra.ph // BLK, anchor.shape[1] * 4 // BLK

@@ -75,12 +75,20 @@ def read_y4m(path: Path):
 
 
 def psnr_frames(src_frames, dec_frames, peak=255):
-    # weighted PSNR over Y (standard practice: report Y)
-    errs = []
-    for (sy, _, _), (dy, _, _) in zip(src_frames, dec_frames):
-        errs.append(np.mean((sy.astype(np.float64) - dy) ** 2))
-    mse = np.mean(errs)
-    return 99.0 if mse == 0 else 10 * math.log10(peak * peak / mse)
+    """(psnr_y, psnr_yuv) — yuv is the standard 6:1:1 weighted PSNR so
+    chroma quality counts in the BD metric (the round-4 chroma mode
+    decision spends bits on chroma that Y-only PSNR can't see)."""
+    ey, eu, ev = [], [], []
+    for (sy, su, sv), (dy, du, dv) in zip(src_frames, dec_frames):
+        ey.append(np.mean((sy.astype(np.float64) - dy) ** 2))
+        eu.append(np.mean((su.astype(np.float64) - du) ** 2))
+        ev.append(np.mean((sv.astype(np.float64) - dv) ** 2))
+    def db(m):
+        return 99.0 if m == 0 else 10 * math.log10(peak * peak / m)
+    py = db(np.mean(ey))
+    pu = db(np.mean(eu))
+    pv = db(np.mean(ev))
+    return py, (6 * py + pu + pv) / 8.0
 
 
 def run_reference(clip: Path, crf: int, out: Path, preset: int = 8,
@@ -96,8 +104,16 @@ def run_reference(clip: Path, crf: int, out: Path, preset: int = 8,
            "--enable-stat-report", "1"]
     if frames:
         cmd += ["-n", str(frames)]
-    r = subprocess.run(cmd, check=True, capture_output=True, text=True,
-                       env={"LD_LIBRARY_PATH": str(BIN)})
+    log = Path(str(out) + ".log")
+    if out.exists() and log.exists():          # reuse cached encode
+        class R:
+            stdout = log.read_text()
+            stderr = ""
+        r = R()
+    else:
+        r = subprocess.run(cmd, check=True, capture_output=True,
+                           text=True, env={"LD_LIBRARY_PATH": str(BIN)})
+        log.write_text(r.stdout + r.stderr)
     psnr = None
     for line in (r.stdout + r.stderr).splitlines():
         parts = line.split()
@@ -105,7 +121,9 @@ def run_reference(clip: Path, crf: int, out: Path, preset: int = 8,
         if parts and "dB" in line and "|" in line:
             vals = [p for p in parts if p not in ("dB", "|")]
             try:
-                psnr = float(vals[4])   # overall (per-frame-MSE) Y-PSNR
+                py, pu, pv = (float(vals[4]), float(vals[5]),
+                              float(vals[6]))
+                psnr = (py, (6 * py + pu + pv) / 8.0)
             except (ValueError, IndexError):
                 pass
     assert psnr is not None, "no stat-report PSNR in encoder output"
@@ -138,6 +156,8 @@ def decode_dav1d(ivf: Path, w: int, h: int):
 
 def run_ours(clip: Path, q: int, out: Path, keyint: int = 64,
              frames: int = 0, extra=()):
+    if out.exists():                           # reuse cached encode
+        return out.stat().st_size
     from svtav1_tpu.app import main as enc_main
     args = ["-i", str(clip), "-b", str(out), "-q", str(q),
             "--keyint", str(keyint)] + list(extra)
@@ -218,33 +238,39 @@ def main():
         lines.append(f"## {clip.name} ({info.width}x{info.height}, "
                      f"{n} frames)")
         lines.append("")
-        lines.append("| encoder | param | kbps | PSNR-Y (dB) |")
-        lines.append("|---|---|---|---|")
-        ra, pa, rb, pb = [], [], [], []
+        lines.append("| encoder | param | kbps | PSNR-Y | PSNR-YUV |")
+        lines.append("|---|---|---|---|---|")
+        ra, pay, payuv, rb, pby, pbyuv = [], [], [], [], [], []
         for crf in (28, 35, 43, 51):
             out = tmp / f"ref_{clip.stem}_{crf}.ivf"
-            sz, ps = run_reference(clip, crf, out, args.preset, n)
+            sz, (py, pyuv) = run_reference(clip, crf, out, args.preset, n)
             kbps = sz * 8 * fps / n / 1000
             ra.append(kbps)
-            pa.append(ps)
+            pay.append(py)
+            payuv.append(pyuv)
             lines.append(f"| reference | crf {crf} | {kbps:.1f} | "
-                         f"{ps:.2f} |")
+                         f"{py:.2f} | {pyuv:.2f} |")
         for q in [int(x) for x in args.qs.split(",")]:
             out = tmp / f"ours_{clip.stem}_{q}.ivf"
             sz = run_ours(clip, q, out, frames=n,
                           extra=args.ours_flags.split())
             dec = decode_dav1d(out, info.width, info.height)
-            ps = psnr_frames(src, dec)
+            py, pyuv = psnr_frames(src, dec)
             kbps = sz * 8 * fps / n / 1000
             rb.append(kbps)
-            pb.append(ps)
-            lines.append(f"| ours | q {q} | {kbps:.1f} | {ps:.2f} |")
-        bd = bd_rate(ra, pa, rb, pb)
+            pby.append(py)
+            pbyuv.append(pyuv)
+            lines.append(f"| ours | q {q} | {kbps:.1f} | {py:.2f} | "
+                         f"{pyuv:.2f} |")
+        bd_y = bd_rate(ra, pay, rb, pby)
+        bd_yuv = bd_rate(ra, payuv, rb, pbyuv)
         lines.append("")
-        lines.append(f"**BD-rate (ours vs reference): {bd:+.1f}%** "
-                     "(negative = we need fewer bits at equal PSNR)")
+        lines.append(f"**BD-rate ours vs reference — "
+                     f"Y: {bd_y:+.1f}%, YUV(6:1:1): {bd_yuv:+.1f}%** "
+                     "(positive = we need MORE bits at equal quality; "
+                     "0% is parity)")
         lines.append("")
-        print(f"{clip.name}: BD-rate {bd:+.1f}%")
+        print(f"{clip.name}: BD-rate Y {bd_y:+.1f}% YUV {bd_yuv:+.1f}%")
     Path(args.out).write_text("\n".join(lines))
     print(f"wrote {args.out}")
 
