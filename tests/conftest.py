@@ -18,21 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: partition/inter wavefronts take minutes to
-# compile per shape on CPU — cache them across test runs.  The path is
-# keyed by a CPU-feature fingerprint: round 3's shared
-# /tmp/jax_cache_svtav1 accumulated XLA:CPU AOT artifacts from a
-# DIFFERENT machine (identical hostname, shared /tmp across the fleet)
-# which mis-executed after loading (machine-feature mismatch spam,
-# wrong results, MULTICHIP_r03.json rc=124).
-import hashlib  # noqa: E402
-
-_fpsrc = ""
-for _p in ("/etc/machine-id", "/proc/cpuinfo"):
-    try:
-        _fpsrc += open(_p).read()
-    except Exception:
-        pass
-_fp = hashlib.sha1(_fpsrc.encode()).hexdigest()[:12]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_svt_{_fp}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compile cache.  /tmp is a mount shared across builder
+# machines that also share hostname, machine-id AND /proc/cpuinfo flags,
+# yet their XLA:CPU AOT artifacts are mutually incompatible
+# (prefer-no-gather/scatter target-feature mismatch) and LOADING them
+# mis-executes (wrong numerics, round-3 rc=124 artifacts).  Every
+# fingerprint scheme tried (hostname, machine-id, cpuinfo hash) still
+# collided, so tests pay the recompile — the stacked-candidate
+# wavefronts (round 4) made that affordable.

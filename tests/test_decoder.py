@@ -34,8 +34,9 @@ def test_roundtrip_own_decoder(q, lf):
                                           theirs, err_msg=f"plane {name}")
 
 
-def test_roundtrip_own_decoder_10bit():
-    from svtav1_tpu.decoder.decoder import Decoder
+@pytest.mark.slow          # its own ~3-min part-wavefront compile; 10-bit
+def test_roundtrip_own_decoder_10bit():  # conformance also covered by
+    from svtav1_tpu.decoder.decoder import Decoder  # test_10bit_video.py
     from svtav1_tpu.encoder.intra_encoder import EncoderConfig, IntraEncoder
 
     w, h = 128, 64

@@ -197,19 +197,9 @@ def main():
 
     import jax
     jax.config.update("jax_platforms", "cpu")
-    # per-machine cache key: /tmp is a shared mount across builder
-    # machines and cross-machine XLA AOT artifacts mis-execute
-    import hashlib
-    src = ""
-    for p in ("/etc/machine-id", "/proc/cpuinfo"):
-        try:
-            src += open(p).read()
-        except OSError:
-            pass
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        f"/tmp/jax_cache_svt_{hashlib.sha1(src.encode()).hexdigest()[:12]}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # no persistent compile cache: /tmp is shared across builder machines
+    # whose XLA AOT artifacts are mutually incompatible (see
+    # tests/conftest.py)
 
     ensure_reference()
     tmp = Path("/tmp/anchor")
