@@ -408,15 +408,20 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                 jnp.where(t3, pack[4], best[4]),
                 jnp.where(take, pack[5], best[5]))
 
-    def sub_step(recon, rs, cs, valid, has_tr, has_bl):
+    def sub_step(carry, rs, cs, valid, has_tr, has_bl):
+        rowbuf, colbuf = carry
         y = rs * bs
         x = cs * bs
         ha = (rs > 0)[None, :, None]
         hl = (cs > 0)[None, :, None]
+        rm1 = jnp.maximum(rs - 1, 0)
+        cm1 = jnp.maximum(cs - 1, 0)
+        arb = jnp.arange(bs)
 
-        above_real = gather_rows(recon, jnp.maximum(y - 1, 0), x, bs)
-        left_real = gather_cols(recon, y, jnp.maximum(x - 1, 0), bs)
-        corner_real = recon[:, jnp.maximum(y - 1, 0), jnp.maximum(x - 1, 0)]
+        above_real = rowbuf[:, rm1[:, None], x[:, None] + arb[None, :]]
+        lrows = jnp.minimum(y[:, None] + arb[None, :], vh - 1)
+        left_real = colbuf[:, lrows, cm1[:, None]]
+        corner_real = rowbuf[:, rm1, jnp.maximum(x - 1, 0)]
         above = jnp.where(ha, above_real,
                           jnp.where(hl, left_real[..., 0:1], base - 1))
         left = jnp.where(hl, left_real,
@@ -426,10 +431,12 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                            jnp.where(ha1, above_real[..., 0],
                                      jnp.where(hl1, left_real[..., 0],
                                                base)))
-        tr_real = gather_rows(recon, jnp.maximum(y - 1, 0),
-                              jnp.minimum(x + bs, w - bs), bs)
-        bl_real = gather_cols(recon, jnp.minimum(y + bs, h - bs),
-                              jnp.maximum(x - 1, 0), bs)
+        tr_real = rowbuf[:, rm1[:, None],
+                         jnp.minimum(x + bs, w - bs)[:, None] +
+                         arb[None, :]]
+        brows = jnp.minimum(jnp.minimum(y + bs, h - bs)[:, None] +
+                            arb[None, :], vh - 1)
+        bl_real = colbuf[:, brows, cm1[:, None]]
         htr = has_tr[None, :, None]
         hbl = has_bl[None, :, None]
         above_ext = jnp.concatenate(
@@ -537,17 +544,21 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         rec_final = jnp.where(split[:, None, None], loc, best_top[3])
 
         rec_d = rec_final.reshape(B, D, bs, bs)
+        rs_eff = jnp.where(valid, rs, bh)
         y_eff = jnp.where(valid, y, h + bs)
-        rows = y_eff[:, None, None] + ar[None, :, None]
-        colx = x[:, None, None] + ar[None, None, :]
-        recon = recon.at[:, rows, colx].set(rec_d, mode="drop")
-        return recon, (split.astype(jnp.int32).reshape(B, D),
+        rowbuf = rowbuf.at[:, rs_eff[:, None],
+                           x[:, None] + arb[None, :]].set(
+            rec_d[:, :, -1, :], mode="drop")
+        colbuf = colbuf.at[:, y_eff[:, None] + arb[None, :],
+                           cs[:, None]].set(
+            rec_d[:, :, :, -1], mode="drop")
+        return (rowbuf, colbuf), (split.astype(jnp.int32).reshape(B, D),
                        best_top[1].reshape(B, D),
                        best_top[2].reshape(B, D, bs, bs),
                        jnp.stack(sub_mi, -1).reshape(B, D, 4),
                        jnp.stack(sub_lev, -3).reshape(B, D, 4, hs, hs),
                        jnp.stack(sub_tx, -1).reshape(B, D, 4)), \
-            cost_tree.reshape(B, D)
+            cost_tree.reshape(B, D), rec_d
 
     # ---- superblock (2bs x 2bs) NONE evaluation ------------------------
     # Single whole-SB transform block (TX_64X64 codes only its low 32x32
@@ -576,16 +587,23 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         rb = rb + jnp.where(nnz > 0, txb_sb, 0.0)
         return lev_c, recb, sse, rb
 
-    def eval_sb(recon, sbr, sbc):
+    def eval_sb(carry, sbr, sbc):
         """sbr/sbc [D] → (cost [B*D], mi [B*D], lev [B*D,nC,nC],
-        rec [B*D,bs2,bs2])."""
+        rec [B*D,bs2,bs2]).  Edges come from the boundary buffers: the
+        SB's above row is the bottom row of block-row 2*sbr-1, its left
+        col is the right col of block-col 2*sbc-1."""
+        rowbuf, colbuf = carry
         y = sbr * bs2
         x = sbc * bs2
         ha = (sbr > 0)[None, :, None]
         hl = (sbc > 0)[None, :, None]
-        above_real = gather_rows(recon, jnp.maximum(y - 1, 0), x, bs2)
-        left_real = gather_cols(recon, y, jnp.maximum(x - 1, 0), bs2)
-        corner_real = recon[:, jnp.maximum(y - 1, 0), jnp.maximum(x - 1, 0)]
+        rm1 = jnp.maximum(2 * sbr - 1, 0)
+        cm1 = jnp.maximum(2 * sbc - 1, 0)
+        arb2 = jnp.arange(bs2)
+        above_real = rowbuf[:, rm1[:, None], x[:, None] + arb2[None, :]]
+        lrows = jnp.minimum(y[:, None] + arb2[None, :], vh - 1)
+        left_real = colbuf[:, lrows, cm1[:, None]]
+        corner_real = rowbuf[:, rm1, jnp.maximum(x - 1, 0)]
         above = jnp.where(ha, above_real,
                           jnp.where(hl, left_real[..., 0:1], base - 1))
         left = jnp.where(hl, left_real,
@@ -596,8 +614,9 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                                      jnp.where(hl1, left_real[..., 0],
                                                base)))
         htr = (ha1 & ((sbc + 1 < sw)[None, :]))[..., None]
-        tr_real = gather_rows(recon, jnp.maximum(y - 1, 0),
-                              jnp.minimum(x + bs2, w - bs2), bs2)
+        tr_real = rowbuf[:, rm1[:, None],
+                         jnp.minimum(x + bs2, w - bs2)[:, None] +
+                         arb2[None, :]]
         above_ext = jnp.concatenate(
             [above, jnp.where(htr, tr_real, above[..., -1:])], axis=-1)
         left_ext = jnp.concatenate(
@@ -629,46 +648,73 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
                           f_lam=f_lam_sb)
         return best[0], best[1], best[2], best[3]
 
-    def step(recon, xs):
+    def step(carry, xs):
         rs, cs, valid, has_tr, has_bl = xs
         if sb_search:
             sbr, sbc = rs[0] // 2, cs[0] // 2
-            sb_cost, sb_mi, sb_lev, sb_rec = eval_sb(recon, sbr, sbc)
+            sb_cost, sb_mi, sb_lev, sb_rec = eval_sb(carry, sbr, sbc)
         outs = []
+        recs = []
         cost_tot = 0.0
         for z in range(4):
-            recon, o, cz = sub_step(recon, rs[z], cs[z], valid[z],
-                                    has_tr[z], has_bl[z])
+            carry, o, cz, rz = sub_step(carry, rs[z], cs[z], valid[z],
+                                        has_tr[z], has_bl[z])
             outs.append(o)
+            recs.append(rz)
             cost_tot = cost_tot + cz
         main = tuple(jnp.stack([o[k] for o in outs], 1) for k in range(6))
+        # assemble the quad's 2bs x 2bs recon from the four z blocks
+        quad = jnp.concatenate(
+            [jnp.concatenate([recs[0], recs[1]], -1),
+             jnp.concatenate([recs[2], recs[3]], -1)], -2)
         if not sb_search:
-            return recon, main
+            return carry, main + (quad,)
         lam_sb = lam * lam_map[:, rs[0], cs[0]]
         cost_none = sb_cost.reshape(B, D) + lam_sb * bits_none_sb
         cost_split = cost_tot + lam_sb * bits_split_sb
         fsb = force_sb[:, sbr, sbc]
         use_sb = jnp.where(fsb < 0, cost_none < cost_split, fsb == 0)
-        y = sbr * bs2
-        x = sbc * bs2
-        cur = gather_blocks(recon, y, x, bs2)          # [B, D, bs2, bs2]
         rec_fin = jnp.where(use_sb[..., None, None],
-                            sb_rec.reshape(B, D, bs2, bs2), cur)
+                            sb_rec.reshape(B, D, bs2, bs2), quad)
+        # boundary buffers must reflect the CHOSEN content (the SB-NONE
+        # recon replaces the quad tree's rows/cols when it wins)
+        rowbuf, colbuf = carry
+        rs_eff0 = jnp.where(valid[0], 2 * sbr, bh)
+        rs_eff1 = jnp.where(valid[0], 2 * sbr + 1, bh)
+        x = sbc * bs2
+        y = sbr * bs2
+        arb2 = jnp.arange(bs2)
+        cols2 = x[:, None] + arb2[None, :]
+        rowbuf = rowbuf.at[:, rs_eff0[:, None], cols2].set(
+            rec_fin[:, :, bs - 1, :], mode="drop")
+        rowbuf = rowbuf.at[:, rs_eff1[:, None], cols2].set(
+            rec_fin[:, :, bs2 - 1, :], mode="drop")
         y_eff = jnp.where(valid[0], y, h + bs2)
-        rows = y_eff[:, None, None] + ar_sb[None, :, None]
-        colx = x[:, None, None] + ar_sb[None, None, :]
-        recon = recon.at[:, rows, colx].set(rec_fin, mode="drop")
+        rows2 = y_eff[:, None] + arb2[None, :]
+        colbuf = colbuf.at[:, rows2, (2 * sbc)[:, None]].set(
+            rec_fin[:, :, :, bs - 1], mode="drop")
+        colbuf = colbuf.at[:, rows2, (2 * sbc + 1)[:, None]].set(
+            rec_fin[:, :, :, bs2 - 1], mode="drop")
         sb_out = ((~use_sb).astype(jnp.int32),
                   sb_mi.reshape(B, D),
                   sb_lev.reshape(B, D, nC, nC))
-        return recon, main + sb_out
+        return (rowbuf, colbuf), main + (rec_fin,) + sb_out
 
-    recon0 = jnp.zeros((B, h, w), jnp.int32)
-    recon, ys = jax.lax.scan(
-        step, recon0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
+    carry0 = (jnp.zeros((B, bh, w), jnp.int32),
+              jnp.zeros((B, h, bw), jnp.int32))
+    _, ys = jax.lax.scan(
+        step, carry0, (jnp.asarray(rs_t), jnp.asarray(cs_t),
                        jnp.asarray(valid_t), jnp.asarray(has_tr_t),
                        jnp.asarray(has_bl_t)))
-    part_d, mi_d, lev_d, smi_d, slev_d, stx_d = ys[:6]
+    part_d, mi_d, lev_d, smi_d, slev_d, stx_d, rec_q = ys[:7]
+    # recon assembles from the per-step 2bs x 2bs quad outputs
+    sb_flat_q = (rs_t[:, 0, :] // 2) * sw + (cs_t[:, 0, :] // 2)
+    sb_idx_q = jnp.asarray(np.where(valid_t[:, 0, :], sb_flat_q, sh * sw))
+    rec_all = jnp.zeros((B, sh * sw, bs2, bs2), jnp.int32)
+    rec_all = rec_all.at[:, sb_idx_q].set(
+        jnp.moveaxis(rec_q, 1, 0), mode="drop")
+    recon = rec_all.reshape(B, sh, sw, bs2, bs2).transpose(
+        0, 1, 3, 2, 4).reshape(B, h, w)
 
     flat_idx = rs_t * bw + cs_t
     idx = jnp.asarray(np.where(valid_t, flat_idx, bh * bw))
@@ -693,5 +739,5 @@ def _wavefront_part_impl(src, rd, extra_top, extra_rate_top,
         out = out.at[:, sb_idx].set(jnp.moveaxis(d, 1, 0), mode="drop")
         return out.reshape((B, sh, sw) + extra_shape)
 
-    return outs + (undiag_sb(ys[6], ()), undiag_sb(ys[7], ()),
-                   undiag_sb(ys[8], (nC, nC)))
+    return outs + (undiag_sb(ys[7], ()), undiag_sb(ys[8], ()),
+                   undiag_sb(ys[9], (nC, nC)))
