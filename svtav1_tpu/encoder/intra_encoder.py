@@ -333,14 +333,34 @@ class IntraEncoder:
          v_slev, y_stx, y_rec, u_rec, v_rec, frames,
          part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb,
          uv_mi, uv_smi, uv_mi_sb, lfv) = dev
+        # compact wire format (xfer.py): scan-packed adaptive fetch for
+        # the coefficient tensors, narrow pixel dtype for the recons —
+        # the dense int32 transfer dominated host time on the ~30MB/s
+        # tunnel (see the flat path / video path for the same treatment)
+        from ..spec.txfm import TX_8X8
+        from .xfer import fetch_levels, scan_pack
+
+        def _fl(lev, txs, n2):
+            sc, eob = scan_pack(lev, txs, DCT_DCT)
+            return fetch_levels(sc, eob, txs, DCT_DCT, (n2, n2))
+
+        y_lev = _fl(y_lev, TX_32X32, BLK)
+        y_slev = _fl(y_slev, TX_16X16, 16)
+        u_lev = _fl(u_lev, TX_16X16, CBLK)
+        v_lev = _fl(v_lev, TX_16X16, CBLK)
+        u_slev = _fl(u_slev, TX_8X8, 8)
+        v_slev = _fl(v_slev, TX_8X8, 8)
+        y_lev_sb = _fl(y_lev_sb, TX_32X32, 32)
+        u_lev_sb = _fl(u_lev_sb, TX_32X32, 32)
+        v_lev_sb = _fl(v_lev_sb, TX_32X32, 32)
+        pix8 = jnp.uint8 if cfg.bit_depth == 8 else jnp.uint16
+        y_rec = np.asarray(y_rec.astype(pix8)).astype(np.int32)
+        u_rec = np.asarray(u_rec.astype(pix8)).astype(np.int32)
+        v_rec = np.asarray(v_rec.astype(pix8)).astype(np.int32)
         arrs = [np.asarray(a) for a in
-                (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
-                 v_slev, y_stx, y_rec, u_rec, v_rec,
-                 part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb,
+                (part, y_mi, y_smi, y_stx, part_sb, y_mi_sb,
                  uv_mi, uv_smi, uv_mi_sb)]
-        (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev, v_slev,
-         y_stx, y_rec, u_rec, v_rec,
-         part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb,
+        (part, y_mi, y_smi, y_stx, part_sb, y_mi_sb,
          uv_mi, uv_smi, uv_mi_sb) = arrs
         from .wavefront2 import (CHROMA_SB_MODES, CHROMA_SUB_MODES,
                                  CHROMA_TOP_MODES)

@@ -1045,15 +1045,33 @@ class VideoEncoder:
                                        lf[3], bd=bd, part_sb=part_sb_f,
                                        valid_h=vhc)
 
+        # compact wire format for the coefficient tensors (xfer.py): the
+        # dense int32 level fetch dominated the quality path's host time
+        # over the ~30MB/s tunnel.  Any fixed permutation is lossless
+        # (pack and unpack share the scan), so the canonical DCT scan
+        # covers every searched tx type.
+        from ..spec.txfm import DCT_DCT as _DD
+        from ..spec.txfm import TX_8X8
+        from .xfer import fetch_levels, scan_pack
+
+        def _fl(lev, txs, n2):
+            sc, eob = scan_pack(lev, txs, _DD)
+            return fetch_levels(sc, eob, txs, _DD, (n2, n2))
+
+        y_lev_n = _fl(y_lev, TX_32X32, BLK)
+        y_slev_n = _fl(y_slev, TX_16X16, 16)
+        u_lev_n = _fl(u_lev, TX_16X16, CBLK)
+        v_lev_n = _fl(v_lev, TX_16X16, CBLK)
+        u_slev_n = _fl(u_slev, TX_8X8, 8)
+        v_slev_n = _fl(v_slev, TX_8X8, 8)
+        y_lev_sb_n = _fl(y_lev_sb, TX_32X32, 32)
+        u_lev_sb_n = _fl(u_lev_sb, TX_32X32, 32)
+        v_lev_sb_n = _fl(v_lev_sb, TX_32X32, 32)
         arrs = [np.asarray(a) for a in
-                (part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
-                 v_slev, mv_top_f, mv_sub_f, y_stx,
-                 part_sb, y_mi_sb, y_lev_sb, u_lev_sb, v_lev_sb, mv_sb_f,
-                 uv_mi, uv_smi, uv_mi_sb)]
-        (part_n, y_mi_n, y_lev_n, y_smi_n, y_slev_n, u_lev_n, u_slev_n,
-         v_lev_n, v_slev_n, mv_t_n, mv_s_n, y_stx_n,
-         psb_n, y_mi_sb_n, y_lev_sb_n, u_lev_sb_n, v_lev_sb_n,
-         mv_sb_n, uv_mi_n, uv_smi_n, uv_mi_sb_n) = arrs
+                (part, y_mi, y_smi, mv_top_f, mv_sub_f, y_stx,
+                 part_sb, y_mi_sb, mv_sb_f, uv_mi, uv_smi, uv_mi_sb)]
+        (part_n, y_mi_n, y_smi_n, mv_t_n, mv_s_n, y_stx_n,
+         psb_n, y_mi_sb_n, mv_sb_n, uv_mi_n, uv_smi_n, uv_mi_sb_n) = arrs
         _uvm_t = np.array([m for m, _ in expand_candidates(
             CHROMA_TOP_MODES, (0,))], np.int32)
         _uvm_s = np.array([m for m, _ in expand_candidates(
@@ -1063,9 +1081,10 @@ class VideoEncoder:
         uv_top_n = _uvm_t[np.clip(uv_mi_n, 0, len(_uvm_t) - 1)]
         uv_sub_n = _uvm_s[np.clip(uv_smi_n, 0, len(_uvm_s) - 1)]
         uv_sb_n = _uvm_b[np.clip(uv_mi_sb_n, 0, len(_uvm_b) - 1)]
-        y_rec_n = np.asarray(y_rec)[0]
-        u_rec_n = np.asarray(u_rec)[0]
-        v_rec_n = np.asarray(v_rec)[0]
+        pix = jnp.uint8 if bd == 8 else jnp.uint16
+        y_rec_n = np.asarray(y_rec.astype(pix))[0].astype(np.int32)
+        u_rec_n = np.asarray(u_rec.astype(pix))[0].astype(np.int32)
+        v_rec_n = np.asarray(v_rec.astype(pix))[0].astype(np.int32)
 
         cdef_kw, cdef_params = {}, None
         db_planes = (y_rec_n, u_rec_n, v_rec_n)
