@@ -72,6 +72,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=8,
                    help="frames per device batch (amortizes dispatch)")
     p.add_argument("--stat-report", action="store_true")
+    p.add_argument("--mastering-display", default=None, metavar="MD",
+                   help="HDR mastering display metadata OBU, "
+                        "G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)")
+    p.add_argument("--content-light", default=None, metavar="CLL,FALL",
+                   help="HDR content light level metadata OBU")
     args = p.parse_args(argv)
     if args.crf is not None:
         if not 0 <= args.crf <= 63:
@@ -84,13 +89,9 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
-    import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_cache_svtav1")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # NOTE: no persistent compile cache — /tmp is a shared cross-machine
+    # mount here and XLA:CPU AOT artifacts poisoned round-3 runs
+    # (machine-feature mismatch); see STATUS.md.
 
     from .encoder.intra_encoder import EncoderConfig, IntraEncoder
     from .encoder.video_encoder import VideoEncoder
@@ -110,6 +111,14 @@ def main(argv=None) -> int:
                             enable_cdef=args.cdef, enable_lr=args.lr,
                             enable_ccso=args.ccso,
                             film_grain=max(0, min(50, args.film_grain)))
+        if args.mastering_display or args.content_light:
+            from .utils.metadata import build_metadata_obus
+            try:
+                cfg = replace(cfg, metadata=build_metadata_obus(
+                    args.mastering_display, args.content_light))
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
         from .encoder.presets import apply_preset, verify_settings
         if args.preset is not None:
             cfg = apply_preset(cfg, args.preset)

@@ -128,6 +128,7 @@ class Decoder:
         # syntax is not self-describing, so the caller must opt in.
         self.expect_ccso = ccso
         self.seq: SeqInfo | None = None
+        self.metadata = []           # parsed (type, value) metadata OBUs
         self.dpb = [None] * 8        # (y, u, v) reconstructed refs
         self.dpb_cdf = [None] * 8    # frame-end CDF state per slot
         self.dpb_fg = [None] * 8     # film grain params per slot
@@ -989,6 +990,12 @@ class Decoder:
         for obu_type, _, _, payload in parse_obus(data):
             if obu_type == OBU_SEQUENCE_HEADER:
                 self.seq = self._parse_sequence_header(payload)
+            elif obu_type == 5:        # OBU_METADATA (§5.8)
+                from ..utils.metadata import parse_metadata_payload
+                try:
+                    self.metadata.append(parse_metadata_payload(payload))
+                except Exception:
+                    pass               # unknown metadata is skippable
             elif obu_type == OBU_FRAME:
                 _need(self.seq is not None, "frame before sequence header")
                 r = BitReader(payload)

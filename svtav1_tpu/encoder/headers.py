@@ -428,14 +428,21 @@ def _tile_log2(blk_size: int, target: int) -> int:
 
 
 def assemble_frame(seq: SequenceConfig, fr: FrameConfig,
-                   tile_payload, first: bool = False) -> bytes:
-    """TD + (sequence header if first) + OBU_FRAME(frame hdr + tile group).
+                   tile_payload, first: bool = False,
+                   metadata: bytes = b"") -> bytes:
+    """TD + (sequence header if first) + metadata OBUs + OBU_FRAME(frame
+    hdr + tile group).
 
     tile_payload: bytes (single tile) or a list of per-tile byte strings
-    (uniform tile columns; fr.tile_cols_log2 must match)."""
+    (uniform tile columns; fr.tile_cols_log2 must match).
+    metadata: pre-wrapped OBU_METADATA bytes (utils/metadata.py),
+    placed after the sequence header per the spec's ordering note
+    (reference: EbPacketizationProcess.c writes metadata before the
+    frame OBU)."""
     out = wrap_obu(OBU_TEMPORAL_DELIMITER, b"")
     if first:
         out += write_sequence_header_obu(seq)
+    out += metadata
     hdr = write_frame_header(seq, fr)
     hdr.byte_align()
     if isinstance(tile_payload, (list, tuple)):
@@ -459,8 +466,9 @@ def assemble_frame(seq: SequenceConfig, fr: FrameConfig,
 
 
 def assemble_key_frame(seq: SequenceConfig, fr: FrameConfig,
-                       tile_payload: bytes, first: bool = True) -> bytes:
-    return assemble_frame(seq, fr, tile_payload, first)
+                       tile_payload: bytes, first: bool = True,
+                       metadata: bytes = b"") -> bytes:
+    return assemble_frame(seq, fr, tile_payload, first, metadata)
 
 
 def assemble_show_existing(slot: int) -> bytes:

@@ -69,6 +69,9 @@ class EncoderConfig:
                                 # (REGULAR/SMOOTH/SHARP) on inter frames
     film_grain: int = 0         # grain synthesis strength 0(off)..50:
                                 # noise_model estimation + §5.9.30 syntax
+    metadata: bytes = b""       # pre-wrapped OBU_METADATA bytes emitted
+                                # in the first TU (utils/metadata.py;
+                                # EbMetadataHandle.c analogue)
 
 
 def _lambda(qindex: int) -> float:
@@ -472,7 +475,8 @@ class IntraEncoder:
                              **cdef_kw)
             payloads.append(assemble_key_frame(
                 self.seq, fr, tiles if T > 1 else tiles[0],
-                first=self._first))
+                first=self._first,
+                metadata=cfg.metadata if self._first else b""))
             self._first = False
             ch, cch = cfg.height, cfg.height // 2
             recons.append((rec_b[0][:ch], rec_b[1][:cch], rec_b[2][:cch]))
@@ -528,8 +532,9 @@ class IntraEncoder:
                              filter_level=(lfv[0], lfv[1]),
                              filter_level_u=lfv[2], filter_level_v=lfv[3],
                              film_grain=self.film_grain_for(frames[b]))
-            payloads.append(assemble_key_frame(self.seq, fr, tiles[b],
-                                               first=self._first))
+            payloads.append(assemble_key_frame(
+                self.seq, fr, tiles[b], first=self._first,
+                metadata=cfg.metadata if self._first else b""))
             self._first = False
             ch, cch = cfg.height, cfg.height // 2
             recons.append((y_rec[b][:ch], u_rec[b][:cch], v_rec[b][:cch]))
