@@ -93,6 +93,7 @@ class FrameInfo:
     cdef_bits: int = 0
     cdef_y_strengths: tuple = ((0, 0),)     # (pri, sec) decoded (3→4)
     cdef_uv_strengths: tuple = ((0, 0),)
+    gm_mv: dict = None                      # {ref: (row, col)} 1/8-pel
 
 
 class _TileState:
@@ -130,6 +131,7 @@ class Decoder:
         self.seq: SeqInfo | None = None
         self.metadata = []           # parsed (type, value) metadata OBUs
         self.dpb = [None] * 8        # (y, u, v) reconstructed refs
+        self.dpb_gm = [None] * 8     # saved per-frame gm_mv dicts
         self.dpb_cdf = [None] * 8    # frame-end CDF state per slot
         self.dpb_fg = [None] * 8     # film grain params per slot
 
@@ -310,10 +312,33 @@ class Decoder:
             fr.reference_select = bool(r.bit())
         fr.reduced_tx_set = bool(r.bit())
         if is_inter:
-            for _ in range(7):
-                _need(r.bit() == 0, "global motion params")
+            fr.gm_mv = self._parse_global_motion(r, fr)
         fr.film_grain = self._parse_film_grain(r, seq, fr)
         return fr
+
+    def _parse_global_motion(self, r: BitReader, fr) -> dict:
+        """global_motion_params, TRANSLATION only (spec 5.9.24/25;
+        EbDecParseObu.c:1217 read_global_motion_params).  Returns
+        {ref: (mv_row, mv_col)} in 1/8-pel; PrevGmParams come from the
+        primary-ref frame's saved params (identity when
+        PRIMARY_REF_NONE)."""
+        from ..ec.subexp import read_signed_subexp_bits
+        prev = {}
+        if fr.primary_ref_frame != 7:
+            slot = fr.ref_frame_idx[fr.primary_ref_frame]
+            prev = self.dpb_gm[slot] or {}
+        gm = {}
+        for ref in range(1, 8):
+            if not r.bit():          # is_global
+                continue
+            _need(not r.bit(), "rot-zoom global motion")
+            _need(bool(r.bit()), "affine global motion")
+            pmv = tuple(prev.get(ref, (0, 0)))
+            row = read_signed_subexp_bits(r, -256, 257, pmv[0] >> 1) << 1
+            col = read_signed_subexp_bits(r, -256, 257, pmv[1] >> 1) << 1
+            if (row, col) != (0, 0):
+                gm[ref] = (row, col)
+        return gm
 
     @staticmethod
     def _parse_ccso(r: BitReader) -> dict:
@@ -710,10 +735,11 @@ class Decoder:
                                mv1c=mv1[1])
             else:
                 IM.read_ref_frame_single(dec, cdf, counts)
+                gmv = tuple((fr.gm_mv or {}).get(MV.LAST_FRAME, (0, 0)))
                 res = find_mv_stack(
                     grid, mi_r, mi_c, bw4, bw4,
                     mi_col_off=getattr(st, "x_off", 0) // 4,
-                    frame_mi_cols=seq.width // 4)
+                    frame_mi_cols=seq.width // 4, gm_mv=gmv)
                 mode = IM.read_inter_mode(dec, cdf, res.mode_context)
                 ref_mv_idx = 0
                 if mode in (MV.NEWMV, MV.NEARMV):
@@ -726,7 +752,7 @@ class Decoder:
                     mv = (_lp(*res.stack[1 + ref_mv_idx][:2])
                           if ref_mv_idx > 0 else res.near_mv)
                 elif mode == MV.GLOBALMV:
-                    mv = (0, 0)
+                    mv = gmv
                 else:
                     ref_mv = (_lp(*res.stack[ref_mv_idx][:2])
                               if res.num_found > 1 else res.nearest_mv)
@@ -1076,6 +1102,7 @@ class Decoder:
                         self.dpb[slot] = ref_entry
                         self.dpb_cdf[slot] = end_cdf
                         self.dpb_fg[slot] = fg
+                        self.dpb_gm[slot] = dict(fr.gm_mv or {})
             elif obu_type == OBU_FRAME_HEADER:
                 _need(self.seq is not None, "header before sequence header")
                 fr = self._parse_frame_header(BitReader(payload), self.seq)

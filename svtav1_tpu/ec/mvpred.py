@@ -233,7 +233,8 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                   ref_frame=M.LAST_FRAME, tile=None,
                   allow_hp: bool = False, force_int: bool = False,
                   mi_col_off: int = 0,
-                  frame_mi_cols: int = None) -> MvStackResult:
+                  frame_mi_cols: int = None,
+                  gm_mv=(0, 0)) -> MvStackResult:
     """find_mv_stack, single or compound.  ref_frame: int (single) or
     (fwd, bwd) pair (compound — stack entries become
     (r0, c0, r1, c1, weight), ref_list entries 4-tuples).
@@ -409,14 +410,17 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
         mode_context |= 4 if num_new >= 1 else 5
         mode_context |= 5 << M.REFMV_OFFSET
 
-    # mv_ref_list: stack[0..1] padded with the global mv (identity → 0)
+    # mv_ref_list: stack[0..1] padded with the global mv (spec 7.10.2.6;
+    # gm_mv = setup_global_mv's TRANSLATION vector, identity → 0; the
+    # single-ref translation-GM path threads the frame's gm here)
     ref_list = []
     width = 4 if comp else 2
+    pad = (0,) * width if comp else tuple(gm_mv)
     for i in range(M.MAX_MV_REF_CANDIDATES):
         if i < len(ctx.stack):
             ref_list.append(tuple(ctx.stack[i][:width]))
         else:
-            ref_list.append((0,) * width)
+            ref_list.append(pad)
     nearest = M.lower_mv_precision(*ref_list[0][:2], allow_hp, force_int)
     near = M.lower_mv_precision(*ref_list[1][:2], allow_hp, force_int)
     return MvStackResult([tuple(e) for e in ctx.stack], len(ctx.stack),

@@ -108,3 +108,35 @@ def write_signed_refsubexpfin(enc, low: int, high: int, k: int, ref: int,
 def read_signed_refsubexpfin(dec, low: int, high: int, k: int,
                              ref: int) -> int:
     return read_refsubexpfin(dec, high - low, k, ref - low) + low
+
+
+# ------------------------------------------------------------------ #
+# Raw-bit (uncompressed frame-header) variants — the global-motion
+# params are subexp-coded with f(1)/ns() bits, not range-coder bools
+# (spec 5.9.25 global_param; EbDecParseObu.c:1148 decode_subexp).
+
+class _BitWriterShim:
+    def __init__(self, w):
+        self.w = w
+
+    def encode_literal(self, v: int, n: int) -> None:
+        if n:
+            self.w.f(v, n)
+
+
+class _BitReaderShim:
+    def __init__(self, r):
+        self.r = r
+
+    def decode_literal(self, n: int) -> int:
+        return self.r.f(n) if n else 0
+
+
+def write_signed_subexp_bits(w, low: int, high: int, ref: int,
+                             v: int) -> None:
+    """BitWriter raw-bit signed subexp with reference, k=3."""
+    write_signed_refsubexpfin(_BitWriterShim(w), low, high, 3, ref, v)
+
+
+def read_signed_subexp_bits(r, low: int, high: int, ref: int) -> int:
+    return read_signed_refsubexpfin(_BitReaderShim(r), low, high, 3, ref)

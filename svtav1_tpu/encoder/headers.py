@@ -86,6 +86,12 @@ class FrameConfig:
     # "load_ref_idx" → update_grain=0 load-from-reference
     film_grain: dict = None
     reference_select: bool = False  # REFERENCE_MODE_SELECT (compound)
+    # global motion (TRANSLATION only): {ref(1..7): (mv_row, mv_col)} in
+    # 1/8-pel (even — quarter-pel precision with !allow_high_precision);
+    # gm_prev = the primary-ref frame's saved gm_mv dict (PrevGmParams
+    # chain for the subexp reference, spec 5.9.25)
+    gm_mv: dict = None
+    gm_prev: dict = None
     # CCSO (fork graft; written only when seq.ccso_fork_mode): None →
     # ccso_frame_flag 0, else the ccso_search info dict ({'planes': [...]})
     ccso: dict = None
@@ -274,10 +280,32 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig,
     # allow_warped_motion: seq enable_warped_motion=0 → inferred 0
     w.bit(1 if fr.reduced_tx_set else 0)
     if is_inter:
-        for _ in range(7):
-            w.bit(0)                # global_motion: is_global per ref
+        _write_global_motion(w, fr)
     _write_film_grain_params(w, seq, fr)
     return w
+
+
+def _write_global_motion(w: BitWriter, fr: FrameConfig) -> None:
+    """global_motion_params (spec 5.9.24/25), TRANSLATION type only.
+    Reference read path: EbDecParseObu.c:1184-1258 read_global_param
+    (abs_bits = GM_ABS_TRANS_ONLY_BITS-1 = 8, prec_bits = 2 with
+    !allow_high_precision_mv; coded value = gm_params >> 14 = mv >> 1
+    since gm_params = mv << (WARPEDMODEL_PREC_BITS - 3))."""
+    from ..ec.subexp import write_signed_subexp_bits
+    gm = fr.gm_mv or {}
+    prev = fr.gm_prev or {}
+    for ref in range(1, 8):
+        mv = tuple(gm.get(ref, (0, 0)))
+        if mv == (0, 0):
+            w.bit(0)                # is_global = 0 (IDENTITY)
+            continue
+        w.bit(1)                    # is_global
+        w.bit(0)                    # is_rot_zoom
+        w.bit(1)                    # is_translation
+        pmv = tuple(prev.get(ref, (0, 0)))
+        for i in (0, 1):            # params[0]=row, params[1]=col
+            write_signed_subexp_bits(w, -256, 257, pmv[i] >> 1,
+                                     mv[i] >> 1)
 
 
 def _write_ccso(w: BitWriter, fr: FrameConfig) -> None:

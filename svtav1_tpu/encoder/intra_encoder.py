@@ -72,6 +72,9 @@ class EncoderConfig:
     metadata: bytes = b""       # pre-wrapped OBU_METADATA bytes emitted
                                 # in the first TU (utils/metadata.py;
                                 # EbMetadataHandle.c analogue)
+    gm_search: bool = True      # translation global-motion fit from the
+                                # ME field on single-ref inter frames
+                                # (EbGlobalMotionEstimation.c analogue)
 
 
 def _lambda(qindex: int) -> float:

@@ -33,7 +33,8 @@ class TileCoder:
     def __init__(self, width, height, qindex, cdf_update, kf: bool,
                  cdf_init=None, mi_col_off: int = 0,
                  frame_mi_cols: int = None, cdef_bits: int = 0,
-                 cdef_idx=None, comp: bool = False, true_h: int = None):
+                 cdef_idx=None, comp: bool = False, true_h: int = None,
+                 gm_mv=(0, 0)):
         """width/height are the padded (SB-aligned) plane dims the block
         maps were produced at; true_h (≤ height, %8) is the signaled
         frame height — blocks whose top-left falls outside it are not
@@ -74,6 +75,9 @@ class TileCoder:
         # inter candidate lanes are [single NEWMV, single zero,
         # comp NEW_NEW, comp zero]; mv arrays carry 4 components
         self.comp = comp
+        # TRANSLATION global motion for LAST (1/8-pel, identity → (0,0));
+        # GLOBALMV blocks predict with and store this mv
+        self.gm_mv = tuple(gm_mv)
         # loop restoration: lr_types per plane (frame restoration type),
         # lr_units per plane = dict of [sb_rows, sb_cols(,k)] arrays
         # (type/eps/xqd/taps_v/taps_h), tile-local SB coords.  Coded at
@@ -372,8 +376,10 @@ class TileCoder:
                     mvv = (int(mv[0]), int(mv[1]))
                     res = find_mv_stack(grid, mi_r, mi_c, bw4, bh4,
                                         mi_col_off=self.mi_col_off,
-                                        frame_mi_cols=self.frame_mi_cols)
-                    mode, ref_mv = choose_inter_mode(mvv, res)
+                                        frame_mi_cols=self.frame_mi_cols,
+                                        gm_mv=self.gm_mv)
+                    mode, ref_mv = choose_inter_mode(mvv, res,
+                                                     gm=self.gm_mv)
                     IM.write_inter_mode(enc, cdf, mode, res.mode_context)
                     if mode in (MV.NEWMV, MV.NEARMV):
                         IM.write_drl_idx(enc, cdf, mode, res.stack,

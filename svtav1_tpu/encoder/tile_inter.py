@@ -28,14 +28,15 @@ BLK = 32
 SB = 64
 
 
-def choose_inter_mode(mv, res):
+def choose_inter_mode(mv, res, gm=(0, 0)):
     """Match the block's mv against the stack predictors (the inverse of
-    the decoder's assign_mv)."""
+    the decoder's assign_mv).  gm: the frame's TRANSLATION global mv for
+    this ref (identity → (0,0)) — GLOBALMV decodes to it."""
     if tuple(mv) == res.nearest_mv:
         return MV.NEARESTMV, None
     if tuple(mv) == res.near_mv:
         return MV.NEARMV, None
-    if mv[0] == 0 and mv[1] == 0:
+    if tuple(mv) == tuple(gm):
         return MV.GLOBALMV, None
     # NEWMV predictor: precision-lowered stack[0] (spec assign_mv applies
     # lower_mv_precision to PredMv) == res.nearest_mv.
@@ -54,7 +55,7 @@ def _dc_sign_ctx(a_cul, a_avail, l_cul, l_avail) -> int:
 
 def encode_inter_tile(width: int, height: int, qindex: int, cdf_update: bool,
                       y_cand, y_lev, u_lev, v_lev, mv8, cands, n_intra: int,
-                      cdf_init=None, true_h: int = None):
+                      cdf_init=None, true_h: int = None, gm_mv=(0, 0)):
     """y_cand [bh,bw] candidate indices (>= n_intra → inter: n_intra=NEWMV,
     n_intra+1=GLOBALMV); mv8 [bh,bw,2] per-block ME mvs; cands = intra
     (mode, delta) list.  cdf_init: a CdfContext snapshot to start from
@@ -103,7 +104,8 @@ def encode_inter_tile(width: int, height: int, qindex: int, cdf_update: bool,
                 M.write_partition(enc, cdf, ctx, M.PARTITION_NONE, BLK)
                 _encode_block(enc, cdf, grid, br, bc, y_cand, y_lev, u_lev,
                               v_lev, mv8, cands, n_intra, skip_grid,
-                              above_cul, left_cul, above_avail, left_avail)
+                              above_cul, left_cul, above_avail, left_avail,
+                              gm_mv)
                 above_part[bmi_c:bmi_c + 8] = part_above_v
                 left_part[qr * 8:qr * 8 + 8] = part_left_v
     return enc.done(), cdf
@@ -111,7 +113,7 @@ def encode_inter_tile(width: int, height: int, qindex: int, cdf_update: bool,
 
 def _encode_block(enc, cdf, grid, br, bc, y_cand, y_lev_a, u_lev_a, v_lev_a,
                   mv8, cands, n_intra, skip_grid, above_cul, left_cul,
-                  above_avail, left_avail):
+                  above_avail, left_avail, gm_mv=(0, 0)):
     mi_r, mi_c = br * 8, bc * 8
     mi_rows, mi_cols = grid.mi_rows, grid.mi_cols
     have_above, have_left = mi_r > 0, mi_c > 0
@@ -140,9 +142,9 @@ def _encode_block(enc, cdf, grid, br, bc, y_cand, y_lev_a, u_lev_a, v_lev_a,
             l_ref if (l_ref or 0) >= 1 else None)
         IM.write_ref_frame_last(enc, cdf, counts)
         mv = ((int(mv8[br, bc, 0]), int(mv8[br, bc, 1]))
-              if idx == n_intra else (0, 0))
-        res = find_mv_stack(grid, mi_r, mi_c, 8, 8)
-        mode, ref_mv = choose_inter_mode(mv, res)
+              if idx == n_intra else tuple(gm_mv))
+        res = find_mv_stack(grid, mi_r, mi_c, 8, 8, gm_mv=gm_mv)
+        mode, ref_mv = choose_inter_mode(mv, res, gm=gm_mv)
         IM.write_inter_mode(enc, cdf, mode, res.mode_context)
         if mode in (MV.NEWMV, MV.NEARMV):
             IM.write_drl_idx(enc, cdf, mode, res.stack, res.num_found)

@@ -86,6 +86,8 @@ class VideoEncoder:
         self._slots = {}              # DPB slot -> (y, u, v) recon
         self._slot_cdf = {}           # DPB slot -> frame-end CDF snapshot
         self._slot_t = {}             # DPB slot -> display index
+        self._slot_gm = {}            # DPB slot -> saved gm_mv dict
+                                      # (PrevGmParams chain, spec 5.9.25)
         self._anchor_slot = 0
         # MCTF on anchor pictures (reference: EbTemporalFiltering.c
         # alt-ref/key-frame filtering) — needs the pyramid lookahead
@@ -180,6 +182,7 @@ class VideoEncoder:
                 self._slots = {0: rec}
                 self._slot_cdf = {}
                 self._slot_t = {0: self._idx}
+                self._slot_gm = {}    # KF refreshes all slots, gm identity
                 self._anchor_slot = 0
                 self._idx += 1
                 payloads += ps
@@ -288,6 +291,37 @@ class VideoEncoder:
         p_b /= (len(gframes) - 1)
         self._lam_map_np = np.clip(1.18 - 0.55 * p_b, 0.68,
                                    1.18).astype(np.float32)
+
+    def _fit_gm(self, mv_field):
+        """Translation-only global-motion fit from the block ME field
+        (EbGlobalMotionEstimation.c:126 analogue — on TPU the dense ME
+        field replaces FAST corners + RANSAC; a coordinate-wise median
+        is the L1-robust estimator for a pure translation).  Returns
+        (row, col) in even 1/8-pel or None (identity)."""
+        f = np.asarray(mv_field).reshape(-1, 2).astype(np.int64)
+        if f.shape[0] < 4:
+            return None
+        med = np.median(f, axis=0)
+        gm = (int(np.round(med[0] / 2.0)) * 2,
+              int(np.round(med[1] / 2.0)) * 2)
+        if gm == (0, 0) or max(abs(gm[0]), abs(gm[1])) > 510:
+            return None
+        # gate: a real pan has most blocks moving with the fit
+        inl = (np.abs(f - np.array(gm)).max(axis=1) <= 16).mean()
+        if inl < 0.5:
+            return None
+        return gm
+
+    def _gm_prev_for(self, primary_ref, ref_idx):
+        """PrevGmParams source: the primary-ref frame's saved gm dict."""
+        if primary_ref == 7:
+            return {}
+        return self._slot_gm.get(ref_idx[primary_ref]) or {}
+
+    def _gm_save(self, refresh_flags, gm_dict):
+        for slot in range(8):
+            if (refresh_flags >> slot) & 1:
+                self._slot_gm[slot] = dict(gm_dict)
 
     def _pick_ref(self, y, cand_slots):
         """Choose the reference slot with the lowest decimated-luma SAD
@@ -525,6 +559,9 @@ class VideoEncoder:
                                     jnp.asarray(ry_me)[None], BLK,
                                     long_range=ref_dist > 4)
         mv8f = mv8.reshape(1, N, 2)
+        gm = self._fit_gm(mv8) if cfg.gm_search else None
+        gmv = gm or (0, 0)
+        gm_b = jnp.broadcast_to(jnp.asarray(gmv, mv8f.dtype), mv8f.shape)
         y0 = (jnp.arange(N) // bw * BLK)[None]
         x0 = (jnp.arange(N) % bw * BLK)[None]
         filt = _pick_interp_filt(yb, ryp, y0, x0, mv8f, h, w, bd) \
@@ -532,8 +569,7 @@ class VideoEncoder:
 
         pred_new = predict_inter_blocks(ryp, y0, x0, mv8f, h, w, BLK,
                                         0, bd, filt)
-        pred_zero = predict_inter_blocks(ryp, y0, x0,
-                                         jnp.zeros_like(mv8f), h, w, BLK,
+        pred_zero = predict_inter_blocks(ryp, y0, x0, gm_b, h, w, BLK,
                                          0, bd, filt)
         extra = jnp.stack([pred_new, pred_zero],
                           1).reshape(1, 2, bh, bw, BLK, BLK)
@@ -553,7 +589,8 @@ class VideoEncoder:
         cands = expand_candidates(P_INTRA_MODES, tuple(cfg.angle_deltas))
         n_intra = len(cands)
         is_inter = y_mi >= n_intra                       # [1, bh, bw]
-        mv_final = jnp.where((y_mi == n_intra)[..., None], mv8, 0)
+        mv_final = jnp.where((y_mi == n_intra)[..., None], mv8,
+                             jnp.asarray(gmv, mv8.dtype))
 
         # chroma: inter blocks reuse the luma mv; intra blocks use DC
         mv_cf = mv_final.reshape(1, N, 2)
@@ -589,11 +626,14 @@ class VideoEncoder:
 
         tile, end_cdf = encode_inter_tile(
             w, hp, q, cfg.cdf_update, y_mi, y_lev, u_lev, v_lev,
-            mv_np, cands, n_intra, cdf_init=cdf0, true_h=h)
+            mv_np, cands, n_intra, cdf_init=cdf0, true_h=h, gm_mv=gmv)
         hdr_extra = dict(hdr_extra or {})
         hdr_extra.setdefault("film_grain", self._fg_inter(hdr_extra))
         primary_ref = hdr_extra.pop("primary_ref_frame",
                                     0 if cdf0 is not None else 7)
+        ref_idx = hdr_extra.get("ref_frame_idx", (0,) * 7)
+        refresh = hdr_extra.get("refresh_frame_flags", 0x01)
+        gm_dict = {1: gmv} if gm else {}
         fr = FrameConfig(frame_type=1, base_q_idx=q,
                          disable_cdf_update=not cfg.cdf_update,
                          disable_frame_end_update_cdf=not cfg.cdf_update,
@@ -601,7 +641,10 @@ class VideoEncoder:
                          filter_level=(lf[0], lf[1]),
                          filter_level_u=lf[2], filter_level_v=lf[3],
                          interpolation_filter=filt,
+                         gm_mv=gm_dict or None,
+                         gm_prev=self._gm_prev_for(primary_ref, ref_idx),
                          **(hdr_extra or {}))
+        self._gm_save(refresh, gm_dict)
         snap = end_cdf.snapshot() if cfg.cdf_update else None
         if chain and cfg.cdf_update:
             self._cdf_state = snap
@@ -668,6 +711,11 @@ class VideoEncoder:
         mv32, _ = motion_estimate(yj, rj, BLK, long_range=lr_me)
         mv16, _ = motion_estimate(yj, rj, 16, long_range=lr_me)
         comp = ref2 is not None
+        # translation global motion (single-ref frames only; compound
+        # GLOBAL_GLOBAL lanes keep identity)
+        gm = (None if comp or not cfg.gm_search
+              else self._fit_gm(mv32))
+        gmv = gm or (0, 0)
         if comp:
             ry2, ru2, rv2 = ref2
             r2yp = pad_plane(jnp.asarray(ry2)[None].astype(jnp.int32))
@@ -708,7 +756,9 @@ class VideoEncoder:
                                  mv32f, h, w, bd) \
             if cfg.filter_search else 0
         pred_new = predict_inter_blocks(ryp, y0, x0, mv32f, h, w, BLK, 0, bd, filt)
-        pred_zero = predict_inter_blocks(ryp, y0, x0, jnp.zeros_like(mv32f),
+        gm_b32 = jnp.broadcast_to(jnp.asarray(gmv, mv32f.dtype),
+                                  mv32f.shape)
+        pred_zero = predict_inter_blocks(ryp, y0, x0, gm_b32,
                                          h, w, BLK, 0, bd, filt)
         pred_mvp = predict_inter_blocks(ryp, y0, x0, mvp32f, h, w, BLK, 0, bd, filt)
         top_lanes = [pred_new, pred_zero, pred_mvp]
@@ -739,8 +789,10 @@ class VideoEncoder:
         sx0 = b_c * BLK + (zz & 1) * 16
         p16_new = predict_inter_blocks(ryp, sy0[None], sx0[None], mvsf, h,
                                        w, 16, 0, bd, filt)
-        p16_zero = predict_inter_blocks(ryp, sy0[None], sx0[None],
-                                        jnp.zeros_like(mvsf), h, w, 16, 0, bd, filt)
+        p16_zero = predict_inter_blocks(
+            ryp, sy0[None], sx0[None],
+            jnp.broadcast_to(jnp.asarray(gmv, mvsf.dtype), mvsf.shape),
+            h, w, 16, 0, bd, filt)
         mvp16f = mvp16z.reshape(1, N * 4, 2)
         p16_mvp = predict_inter_blocks(ryp, sy0[None], sx0[None], mvp16f,
                                        h, w, 16, 0, bd, filt)
@@ -764,9 +816,10 @@ class VideoEncoder:
         x0s = (jnp.arange(Nsb) % sw * 64)[None]
         mv64f = mv64.reshape(1, Nsb, 2)
         p64_new = predict_inter_blocks(ryp, y0s, x0s, mv64f, h, w, 64, 0, bd, filt)
-        p64_zero = predict_inter_blocks(ryp, y0s, x0s,
-                                        jnp.zeros_like(mv64f), h, w, 64,
-                                        0, bd, filt)
+        p64_zero = predict_inter_blocks(
+            ryp, y0s, x0s,
+            jnp.broadcast_to(jnp.asarray(gmv, mv64f.dtype), mv64f.shape),
+            h, w, 64, 0, bd, filt)
         mvp64f = mvp64.reshape(1, Nsb, 2)
         p64_mvp = predict_inter_blocks(ryp, y0s, x0s, mvp64f, h, w, 64, 0, bd, filt)
         sb_lanes = [p64_new, p64_zero, p64_mvp]
@@ -895,11 +948,16 @@ class VideoEncoder:
         lane_s = y_smi - n_i_sub
         lane_b = y_mi_sb - n_i_top
 
+        gm_j = jnp.asarray(gmv, mv32_t.dtype)
+
         def _first_mv(lane, new, pred):
+            # default lane (1 = GLOBAL) carries the frame's gm mv
+            # (identity → 0; compound GLOBAL_GLOBAL stays identity since
+            # gm is disabled on compound frames); intra rows unused
             return jnp.where((lane == 0)[..., None], new,
                              jnp.where((lane == 2)[..., None], pred,
                                        jnp.where((lane == 3)[..., None],
-                                                 new, 0)))
+                                                 new, gm_j)))
 
         if comp:
             mv32b_t = tstack(mv32b, 2)
@@ -1164,6 +1222,7 @@ class VideoEncoder:
         for t in range(T):
             tc = TileCoder(tw_px, hp, q, cfg.cdf_update, kf=False,
                            cdf_init=cdf0, comp=comp, true_h=h,
+                           gm_mv=gmv,
                            mi_col_off=t * tw_px // 4,
                            frame_mi_cols=w // 4,
                            cdef_bits=(cdef_params["bits"]
@@ -1195,6 +1254,9 @@ class VideoEncoder:
         hdr_extra.setdefault("film_grain", self._fg_inter(hdr_extra))
         primary_ref = hdr_extra.pop("primary_ref_frame",
                                     0 if cdf0 is not None else 7)
+        ref_idx = hdr_extra.get("ref_frame_idx", (0,) * 7)
+        refresh = hdr_extra.get("refresh_frame_flags", 0x01)
+        gm_dict = {1: gmv} if gm else {}
         fr = FrameConfig(frame_type=1, base_q_idx=q,
                          disable_cdf_update=not cfg.cdf_update,
                          disable_frame_end_update_cdf=not cfg.cdf_update,
@@ -1204,7 +1266,10 @@ class VideoEncoder:
                          interpolation_filter=filt,
                          tile_cols_log2=T.bit_length() - 1,
                          lr_frame_types=lr_types, ccso=ccso_info,
+                         gm_mv=gm_dict or None,
+                         gm_prev=self._gm_prev_for(primary_ref, ref_idx),
                          **cdef_kw, **(hdr_extra or {}))
+        self._gm_save(refresh, gm_dict)
         snap = end_cdf.snapshot() if cfg.cdf_update else None
         if chain and cfg.cdf_update:
             self._cdf_state = snap
