@@ -73,7 +73,9 @@ def bench_device_only(enc, frames, batch=4, n_iter=3):
     import jax.numpy as jnp
 
     def sync(d):
-        return float(jnp.sum(d["y_pk"][1]) + jnp.sum(d["uv_pk"][1]))
+        return float(jnp.sum(d["y_rec"].astype(jnp.int32)) +
+                     jnp.sum(d["uv_rec"].astype(jnp.int32)) +
+                     jnp.sum(d["y_lev"]) + jnp.sum(d["uv_lev"]))
     sync(enc.device_encode(frames[:batch]))      # compile + first exec
     t0 = time.perf_counter()
     for _ in range(n_iter):

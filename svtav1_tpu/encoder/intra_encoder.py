@@ -175,14 +175,12 @@ class IntraEncoder:
                                           bd=bd, valid_h=vh)
             uv_rec = deblock_plane_uniform(uv_rec, CBLK, 6, lf[2], lf[2],
                                            bd=bd, valid_h=vhc)
-        # wire format: levels go down scan-packed (adaptive int16 prefix),
-        # recon as the narrow pixel dtype — the tunnel moves ~30MB/s, so
-        # dense int32 transfers were the round-3 e2e bottleneck (xfer.py)
-        from .xfer import scan_pack
+        # wire format: levels stay dense on device; host_finish pulls them
+        # through the adaptive int8+sparse-high format (xfer.py) — the
+        # tunnel moves ~20MB/s, so the wire format is the e2e budget
         pix = jnp.uint8 if bd == 8 else jnp.uint16
         return {"n": len(frames), "y_mi": y_mi, "uv_mi": uv_mi,
-                "y_pk": scan_pack(y_lev, TX_32X32, DCT_DCT),
-                "uv_pk": scan_pack(uv_lev, TX_16X16, DCT_DCT),
+                "y_lev": y_lev, "uv_lev": uv_lev,
                 "y_rec": y_rec.astype(pix), "uv_rec": uv_rec.astype(pix),
                 "frames": frames}
 
@@ -344,11 +342,10 @@ class IntraEncoder:
         # the dense int32 transfer dominated host time on the ~30MB/s
         # tunnel (see the flat path / video path for the same treatment)
         from ..spec.txfm import TX_8X8
-        from .xfer import fetch_levels, scan_pack
+        from .xfer import fetch_levels
 
         def _fl(lev, txs, n2):
-            sc, eob = scan_pack(lev, txs, DCT_DCT)
-            return fetch_levels(sc, eob, txs, DCT_DCT, (n2, n2))
+            return fetch_levels(lev, txs, DCT_DCT, (n2, n2))
 
         y_lev = _fl(y_lev, TX_32X32, BLK)
         y_slev = _fl(y_slev, TX_16X16, 16)
@@ -492,12 +489,11 @@ class IntraEncoder:
         cfg = self.cfg
         n, y_mi, frames = dev["n"], np.asarray(dev["y_mi"]), dev["frames"]
         from .xfer import fetch_levels
-        # adaptive two-tier fetch: tiny eob read sizes an int16 prefix for
-        # everyone + a dense gather of the few overflow blocks (xfer.py)
-        y_lev = fetch_levels(dev["y_pk"][0], dev["y_pk"][1], TX_32X32,
-                             DCT_DCT, (BLK, BLK))
-        uv_lev = fetch_levels(dev["uv_pk"][0], dev["uv_pk"][1], TX_16X16,
-                              DCT_DCT, (CBLK, CBLK))
+        # adaptive fetch: tiny eob read sizes an int8+sparse-high prefix
+        # (xfer.py wire format v2)
+        y_lev = fetch_levels(dev["y_lev"], TX_32X32, DCT_DCT, (BLK, BLK))
+        uv_lev = fetch_levels(dev["uv_lev"], TX_16X16, DCT_DCT,
+                              (CBLK, CBLK))
         u_lev, v_lev = uv_lev[:n], uv_lev[n:]
         # recon stays on device (narrow dtype); callers that need host
         # pixels (e.g. --stat-report PSNR) convert on demand

@@ -1110,11 +1110,10 @@ class VideoEncoder:
         # covers every searched tx type.
         from ..spec.txfm import DCT_DCT as _DD
         from ..spec.txfm import TX_8X8
-        from .xfer import fetch_levels, scan_pack
+        from .xfer import fetch_levels
 
         def _fl(lev, txs, n2):
-            sc, eob = scan_pack(lev, txs, _DD)
-            return fetch_levels(sc, eob, txs, _DD, (n2, n2))
+            return fetch_levels(lev, txs, _DD, (n2, n2))
 
         y_lev_n = _fl(y_lev, TX_32X32, BLK)
         y_slev_n = _fl(y_slev, TX_16X16, 16)

@@ -1,19 +1,30 @@
 """Compact device->host transfer of quantized coefficients.
 
 The encode pipeline is device-compute-light but transfer-heavy: a 4-frame
-1080p batch's dense levels + recon is ~100MB, and the TPU tunnel moves
-~30MB/s device->host, so the dense fetch (3.4s/batch) — not the wavefront
-(tens of ms) and not the native entropy coder (41ms/frame) — was the whole
-e2e budget (round-3 bench: 1.25 fps).
+1080p batch's dense levels + recon is ~100MB and the TPU tunnel moves
+~20MB/s device->host, so the wire format IS the e2e budget.  (The
+reference never faces this: its EncDec and EC share one address space,
+EbEncDecProcess.c; here the split is device/host, so the wire format is
+part of the architecture.)
 
-Fix: the device emits levels in SCAN order plus a per-block EOB.  The host
-fetches the tiny EOB array, picks a small static prefix K that covers all
-but a handful of blocks, fetches [..., :K] as int16 for everyone, and
-dense-fetches only the overflow blocks through a device-side gather.
-Typical q=100 1080p content fits in K=64..128 of 1024 — a ~15-30x cut.
-(The reference never faces this: its EncDec and EC share one address
-space, EbEncDecProcess.c; here the split is device/host, so the wire
-format is part of the architecture.)
+Format v2 (round 5).  Every AV1 level fits int16 (quantize clamps to
+2^15-1), and almost every AC level fits int8; only the DC and a few ACs
+overflow a byte.  So the wire is:
+
+  round 1:  eob [nb] int32 (tiny) — picks the scan-prefix length K
+  round 2:  dc16 [nb] int16                      (scan position 0)
+            p8   [nb, K-1] int8                  (low bytes, positions 1..K-1)
+            hi_idx/hi_val [M] sparse high bytes  (the few |v| > 127 ACs)
+            rows16 [m, n] int16                  (full rows of eob>K blocks)
+
+Worst-case content (dense noise) degrades to one int8 plane + sparse
+highs — 4x smaller than the dense int32 fetch, with no scan gather on
+device (the K=n path ships the flat layout directly).  Typical content
+fits K=64..128 → ~30x smaller.
+
+Round-4's scan_pack/fetch_scanned API is gone: callers hand the dense
+levels tensor straight to fetch_levels (no 33MB scan-order copy, no 80ms
+device gather per plane).
 """
 
 from __future__ import annotations
@@ -26,81 +37,133 @@ import numpy as np
 
 from ..spec import tables as tbl
 
-# static prefix ladder; full length is used past the last entry
-_K_CHOICES = (32, 64, 128, 256, 512)
+# static prefix ladder (entries < n are scan-prefix fetches; n itself
+# ships the flat layout with no gather)
+_K_CHOICES = (64, 128, 256)
+_M_HI = 4096          # sparse high-byte capacity per fetch
+
+
+def _scan_np(tx_size: int, tx_type: int) -> np.ndarray:
+    return tbl.scan(tx_size, tx_type).astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("tx_size", "tx_type"))
-def scan_pack(levels, tx_size: int, tx_type: int):
-    """levels [..., bh_tx, bw_tx] int32 -> (scanned [..., n] int32,
-    eob [...] int32).  scanned[i] = coefficient at scan position i."""
-    scan = jnp.asarray(tbl.scan(tx_size, tx_type).astype(np.int32))
-    n = int(scan.shape[0])
+def _eob_jit(levels, tx_size: int, tx_type: int):
+    """Per-block eob (last nonzero scan position + 1) — elementwise,
+    no scan-order materialization."""
+    scan = _scan_np(tx_size, tx_type)
+    n = scan.shape[0]
+    inv = np.zeros(n, np.int32)
+    inv[scan] = np.arange(n, dtype=np.int32)         # flat idx -> scan pos
     flat = levels.reshape(levels.shape[:-2] + (-1,))
-    sc = flat[..., scan]
-    nz = sc != 0
-    eob = jnp.where(nz.any(-1), n - jnp.argmax(nz[..., ::-1], axis=-1), 0)
-    return sc, eob.astype(jnp.int32)
+    pos1 = jnp.asarray(inv) + 1
+    return jnp.max(jnp.where(flat != 0, pos1, 0), axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _prefix8(scanned, k: int):
-    """First k scan positions as int8 + each block's max |level| (the
-    host dense-fetches blocks whose levels overflow int8 or whose eob
-    exceeds k)."""
-    flat = scanned.reshape(-1, scanned.shape[-1])
-    mx = jnp.max(jnp.abs(flat), axis=-1)
-    return flat[:, :k].astype(jnp.int8), mx.astype(jnp.int32)
+def _split8(v):
+    """int16-range v -> (low int8, high) with v == low + (high << 8)."""
+    low = ((v + 128) & 255) - 128
+    return low, (v - low) >> 8
 
 
-@partial(jax.jit, static_argnames=("m",))
-def _take_blocks(scanned, idx, m: int):
-    flat = scanned.reshape(-1, scanned.shape[-1])
-    return flat[idx]                                    # [m, n] int32
+@partial(jax.jit, static_argnames=("tx_size", "tx_type", "k"))
+def _pack_prefix(levels, tx_size: int, tx_type: int, k: int):
+    """(dc16, p8, hi_idx, hi_val, hi_cnt) for scan positions [0, k)."""
+    scan = _scan_np(tx_size, tx_type)
+    n = scan.shape[0]
+    flat = levels.reshape(-1, flat_n(levels))
+    dc16 = flat[:, scan[0]].astype(jnp.int16)
+    if k >= n:
+        # flat layout, no gather; position 0 low byte is redundant w/ dc16
+        body = flat
+    else:
+        body = flat[:, scan[1:k]]
+    low, hi = _split8(body)
+    p8 = low.astype(jnp.int8)
+    hi_flat = hi.reshape(-1)
+    if k >= n:
+        # don't re-ship the dc high byte through the sparse channel
+        hi_flat = hi_flat.at[jnp.arange(flat.shape[0]) * n + scan[0]].set(0)
+    cnt = jnp.sum(hi_flat != 0).astype(jnp.int32)
+    idx = jnp.nonzero(hi_flat, size=_M_HI, fill_value=0)[0].astype(jnp.int32)
+    val = hi_flat[idx].astype(jnp.int16)
+    val = jnp.where(jnp.arange(_M_HI) < cnt, val, 0)
+    return dc16, p8, idx, val, cnt
 
 
-def fetch_scanned(scanned, eob) -> np.ndarray:
-    """Adaptive two-tier transfer; returns the full scanned array
-    [..., n] int32 on host (dense layout, zeros past each block's eob)."""
-    n = int(scanned.shape[-1])
-    eob_np = np.asarray(eob).reshape(-1)                # tiny fetch
+@partial(jax.jit, static_argnames=("tx_size", "tx_type", "k"))
+def _pack_prefix16(levels, tx_size: int, tx_type: int, k: int):
+    """Fallback when the sparse high-byte channel overflows: int16 body."""
+    scan = _scan_np(tx_size, tx_type)
+    n = scan.shape[0]
+    flat = levels.reshape(-1, flat_n(levels))
+    if k >= n:
+        return flat.astype(jnp.int16)
+    return flat[:, scan[:k]].astype(jnp.int16)
+
+
+@partial(jax.jit, static_argnames=("m", "tx_size", "tx_type"))
+def _rows16(levels, idx, m: int, tx_size: int, tx_type: int):
+    """Full scan-order rows (int16) of the eob-overflow blocks."""
+    scan = _scan_np(tx_size, tx_type)
+    flat = levels.reshape(-1, flat_n(levels))
+    return flat[idx][:, scan].astype(jnp.int16)
+
+
+def flat_n(levels) -> int:
+    return levels.shape[-1] * levels.shape[-2]
+
+
+def fetch_levels(levels, tx_size: int, tx_type: int,
+                 shape2d: tuple) -> np.ndarray:
+    """Adaptive fetch of a device levels tensor [..., h, w] -> host dense
+    int32 array of the same shape (shape2d = (h, w) of the tx)."""
+    lead = levels.shape[:-2]
+    n = flat_n(levels)
+    eob_np = np.asarray(_eob_jit(levels, tx_size, tx_type)).reshape(-1)
     nb = eob_np.size
     k = n
+    ovf = np.zeros(0, np.int64)
     for kc in _K_CHOICES:
         if kc >= n:
             break
-        if int((eob_np > kc).sum()) <= max(8, nb // 32):
-            k = kc
+        over = np.nonzero(eob_np > kc)[0]
+        if over.size <= max(8, nb // 32):
+            k, ovf = kc, over
             break
-    p8, mx = _prefix8(scanned, min(k, n))
-    p8 = np.asarray(p8)
-    mx = np.asarray(mx)
-    sc = np.zeros((nb, n), np.int32)
-    sc[:, :p8.shape[1]] = p8
-    ovf = np.nonzero((eob_np > k) | (mx > 127))[0]
-    if ovf.size > nb // 4:
-        return np.asarray(scanned).reshape(nb, n)       # mostly dense
+    dc16, p8, hi_idx, hi_val, hi_cnt = _pack_prefix(
+        levels, tx_size, tx_type, k)
+    # dispatch the (rare) row-overflow gather before blocking on fetches
+    rows = None
     if ovf.size:
         m = 1 << max(3, int(np.ceil(np.log2(ovf.size))))
-        idx = np.zeros(m, np.int32)
-        idx[:ovf.size] = ovf
-        blocks = np.asarray(_take_blocks(scanned, jnp.asarray(idx), m))
-        sc[ovf] = blocks[:ovf.size]
-    return sc
-
-
-def unscan(sc: np.ndarray, tx_size: int, tx_type: int,
-           shape2d: tuple, lead_shape: tuple) -> np.ndarray:
-    """Host: scan-order [nb, n] -> dense [*lead_shape, h, w] int32."""
-    scan = tbl.scan(tx_size, tx_type).astype(np.int32)
-    full = np.zeros(sc.shape, np.int32)
-    full[..., scan] = sc
-    return full.reshape(tuple(lead_shape) + tuple(shape2d))
-
-
-def fetch_levels(scanned, eob, tx_size: int, tx_type: int,
-                 shape2d: tuple) -> np.ndarray:
-    """Convenience wrapper: two-tier fetch + unscan to the dense layout."""
-    lead = scanned.shape[:-1]
-    return unscan(fetch_scanned(scanned, eob), tx_size, tx_type,
-                  shape2d, lead)
+        pad = np.zeros(m, np.int32)
+        pad[:ovf.size] = ovf
+        rows = _rows16(levels, jnp.asarray(pad), m, tx_size, tx_type)
+    cnt = int(hi_cnt)
+    scan = _scan_np(tx_size, tx_type)
+    out = np.zeros((nb, n), np.int32)
+    if cnt > _M_HI:
+        body = np.asarray(_pack_prefix16(levels, tx_size, tx_type, k)
+                          ).astype(np.int32)
+        if k >= n:
+            out[:] = body
+        else:
+            out[:, scan[:k]] = body
+            out[:, scan[0]] = np.asarray(dc16)
+    else:
+        p8_np = np.asarray(p8).astype(np.int32)
+        if cnt:
+            flat_hi = np.zeros(p8_np.size, np.int32)
+            idx = np.asarray(hi_idx)[:cnt]
+            val = np.asarray(hi_val)[:cnt].astype(np.int32)
+            np.add.at(flat_hi, idx, val << 8)
+            p8_np += flat_hi.reshape(p8_np.shape)
+        if k >= n:
+            out[:] = p8_np
+        else:
+            out[:, scan[1:k]] = p8_np
+        out[:, scan[0]] = np.asarray(dc16)
+    if rows is not None:
+        out[ovf[:, None], scan[None, :]] = np.asarray(rows)[:ovf.size]
+    return out.reshape(tuple(lead) + tuple(shape2d))
