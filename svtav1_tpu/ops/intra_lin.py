@@ -4,10 +4,11 @@ round-and-shift, so a whole candidate stack of predictions is a single
 [lanes, E] @ [E, n_cand*n*n] contraction — MXU food for the Pallas
 wavefront kernel (pallas/wavefront_kernel.py).
 
-Edge vector layout per lane (length E = 4n+1):
-    [0]            above-left corner
-    [1 .. 2n]      above_ext (above row + top-right extension)
-    [2n+1 .. 4n]   left_ext  (left col + bottom-left extension)
+Edge vector layout per lane (length E = 4n+1, corner LAST so the first
+4n columns form the 128-aligned matmul block for n=32):
+    [0 .. 2n-1]    above_ext (above row + top-right extension)
+    [2n .. 4n-1]   left_ext  (left col + bottom-left extension)
+    [4n]           above-left corner
 
 Exactness: pixels are <= 255 (8-bit) and weights <= 256, both exact in
 bfloat16; MXU bf16 x bf16 products accumulate in f32 and every partial
@@ -46,8 +47,9 @@ def build_w(n: int, cands: tuple):
     add = np.zeros(C, np.int32)
     shift = np.zeros(C, np.int32)
     linear = np.zeros(C, bool)
-    A = 1                 # above_ext base in E
-    L = 2 * n + 1         # left_ext base in E
+    A = 0                 # above_ext base in E
+    L = 2 * n             # left_ext base in E
+    CNR = 4 * n           # corner
 
     for ci, (mode, delta) in enumerate(cands):
         base = ci * n * n
@@ -122,10 +124,10 @@ def build_w(n: int, cands: tuple):
             ua, a0, a1, s1, l0, l1, s2 = _z2_maps(n, angle)
 
             def eidx_above(k):      # [corner | above[:n]] index -> E
-                return 0 if k == 0 else A + k - 1
+                return CNR if k == 0 else A + k - 1
 
             def eidx_left(k):
-                return 0 if k == 0 else L + k - 1
+                return CNR if k == 0 else L + k - 1
             for i in range(n):
                 for j in range(n):
                     if ua[i, j]:

@@ -24,9 +24,9 @@ def test_linear_matches_golden(n):
     rng = np.random.RandomState(7)
     B = 5
     e = _edges(rng, B, n)
-    corner = e[:, 0]
-    above_ext = e[:, 1:2 * n + 1]
-    left_ext = e[:, 2 * n + 1:]
+    above_ext = e[:, :2 * n]
+    left_ext = e[:, 2 * n:4 * n]
+    corner = e[:, 4 * n]
     cands = tuple((m, 0) for m in LIN_MODES)
     got = predict_linear_np(e, n, cands)
     cj, aj, lj = (jnp.asarray(corner), jnp.asarray(above_ext),
@@ -48,8 +48,8 @@ def test_angle_deltas():
                                    intra.V_PRED, intra.H_PRED)
                   for d in (-2, 1, 3))
     got = predict_linear_np(e, n, cands)
-    cj, aj, lj = (jnp.asarray(e[:, 0]), jnp.asarray(e[:, 1:2 * n + 1]),
-                  jnp.asarray(e[:, 2 * n + 1:]))
+    cj, aj, lj = (jnp.asarray(e[:, 4 * n]), jnp.asarray(e[:, :2 * n]),
+                  jnp.asarray(e[:, 2 * n:4 * n]))
     for ci, (m, d) in enumerate(cands):
         ref = np.asarray(dr_pred(m, d, aj, lj, cj, n))
         np.testing.assert_array_equal(got[ci], ref,
