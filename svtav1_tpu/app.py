@@ -61,6 +61,10 @@ def main(argv=None) -> int:
                         "--crf is given)")
     p.add_argument("--tbr", type=int, default=0, metavar="KBPS",
                    help="target bitrate for --rc cbr/vbr")
+    p.add_argument("--mbr", type=int, default=0, metavar="KBPS",
+                   help="max bitrate cap for capped CRF/CQ (all-intra "
+                        "--keyint 1): over-cap frames re-encode at "
+                        "higher q (EbRateControlProcess.c capped_crf)")
     p.add_argument("--film-grain", type=int, default=0, metavar="N",
                    help="film grain synthesis strength 0(off)..50: "
                         "noise estimation + grain params in the stream")
@@ -151,8 +155,15 @@ def main(argv=None) -> int:
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
+        if args.mbr and args.keyint != 1:
+            print("error: --mbr (capped CRF) is supported for the "
+                  "all-intra path (--keyint 1)", file=sys.stderr)
+            return 2
         if args.keyint == 1:
             enc = IntraEncoder(cfg)      # batched all-intra path
+            if args.mbr:
+                enc.cap_bits = int(args.mbr * 1000 * info.fps_den /
+                                   max(info.fps_num, 1))
         elif pyramid:
             enc = VideoEncoder(cfg, keyint=args.keyint, pyramid=True,
                                tf=args.tf, rc=rc)

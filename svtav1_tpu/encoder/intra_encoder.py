@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,6 +135,34 @@ class IntraEncoder:
 
     # ------------------------------------------------------------------ #
 
+    # capped-CRF (reference: EbRateControlProcess.c:2594 capped_crf +
+    # the re-encode entry EbEncDecProcess.c:3222): frames whose coded
+    # size exceeds cap_bits re-encode at a higher qindex.  Set by the
+    # CLI's --mbr (app.py); 0 disables.
+    cap_bits: int = 0
+    _CAP_QSTEPS = (24, 48, 88)
+
+    def _capped_recode(self, frames, payloads, recons, first0: bool):
+        if not self.cap_bits:
+            return payloads, recons
+        from dataclasses import replace as _rp
+        for b, p in enumerate(payloads):
+            if len(p) * 8 <= self.cap_bits:
+                continue
+            q0 = self.cfg.qindex
+            for step in self._CAP_QSTEPS:
+                q2 = min(255, q0 + step)
+                sub = IntraEncoder(_rp(self.cfg, qindex=q2))
+                sub._first = first0 and b == 0
+                sub._fg_params = self._fg_params
+                sub.use_native = getattr(self, "use_native", True)
+                ps, rs = sub.host_finish(sub.device_encode([frames[b]]))
+                if len(ps[0]) * 8 <= self.cap_bits or q2 >= 255:
+                    break
+            payloads[b] = ps[0]
+            recons[b] = rs[0]
+        return payloads, recons
+
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
         payloads, recons = self.encode_frames([(y, u, v)])
         return payloads[0], recons[0]
@@ -157,7 +187,20 @@ class IntraEncoder:
         vhc = None if vh is None else vh // 2
         if cfg.part_search:
             return self._device_encode_part(yb, ub, vb, frames)
-        y_mi, y_lev, y_rec = encode_plane_wavefront(
+        # the Pallas wavefront kernel (pallas/wavefront_kernel.py) runs
+        # the whole schedule in one kernel with boundary state in VMEM.
+        # Interpret-verified bit-equal to the XLA scan; on current
+        # Mosaic the 1080p compile exceeds any practical budget (see
+        # STATUS.md round-5 notes), so it is opt-in: SVT_TPU_PALLAS=1.
+        use_pl = (bd == 8 and cfg.angle_deltas == (0,) and
+                  os.environ.get("SVT_TPU_PALLAS", "0") == "1" and
+                  jax.default_backend() not in ("cpu",))
+        if use_pl:
+            from ..pallas.wavefront_kernel import encode_plane_wavefront_pl
+            wf = encode_plane_wavefront_pl
+        else:
+            wf = encode_plane_wavefront
+        y_mi, y_lev, y_rec = wf(
             yb, BLK, TX_32X32, cfg.qindex, CAND_MODES, bd,
             tuple(cfg.angle_deltas), valid_h=vh)
         # U and V ride one wavefront on the batch axis (same modes/shape:
@@ -166,7 +209,7 @@ class IntraEncoder:
         # (the reference's chroma MD, EbModeDecision.c uv search; round 3
         # hard-coded DC here)
         uvb = np.concatenate([ub, vb])
-        uv_mi, uv_lev, uv_rec = encode_plane_wavefront(
+        uv_mi, uv_lev, uv_rec = wf(
             uvb, CBLK, TX_16X16, cfg.qindex, CAND_MODES, bd,
             valid_h=vhc, paired=True, kf="uv", uv_tx=True)
         lf = self.lf_levels()
@@ -332,6 +375,7 @@ class IntraEncoder:
         from .tile_codec import TileCoder
         from .wavefront2 import SUB_MODES
 
+        first0 = self._first
         cfg = self.cfg
         (_, n, part, y_mi, y_lev, y_smi, y_slev, u_lev, u_slev, v_lev,
          v_slev, y_stx, y_rec, u_rec, v_rec, frames,
@@ -480,13 +524,14 @@ class IntraEncoder:
             self._first = False
             ch, cch = cfg.height, cfg.height // 2
             recons.append((rec_b[0][:ch], rec_b[1][:cch], rec_b[2][:cch]))
-        return payloads, recons
+        return self._capped_recode(frames, payloads, recons, first0)
 
     def host_finish(self, dev):
         """Entropy-code a device batch (blocks on the device arrays)."""
         if isinstance(dev, tuple) and dev and dev[0] == "part":
             return self._host_finish_part(dev)
         cfg = self.cfg
+        first0 = self._first
         n, y_mi, frames = dev["n"], np.asarray(dev["y_mi"]), dev["frames"]
         from .xfer import fetch_levels
         # adaptive fetch: tiny eob read sizes an int8+sparse-high prefix
@@ -537,7 +582,7 @@ class IntraEncoder:
             self._first = False
             ch, cch = cfg.height, cfg.height // 2
             recons.append((y_rec[b][:ch], u_rec[b][:cch], v_rec[b][:cch]))
-        return payloads, recons
+        return self._capped_recode(frames, payloads, recons, first0)
 
     def lf_levels(self):
         """(y_vert, y_horz, u, v) filter levels (heuristic from qindex,

@@ -179,15 +179,24 @@ def _exact_div(x, d, rcp):
 
 
 def _make_kernel(*, B, Dp, bs, bh, bw, h, w, vh, n_cand, cands, tx_size,
-                 groups, bd, paired):
-    """groups: list of (row_kind, col_kind, [cand indices])."""
+                 cand_kinds, bd, paired):
+    """cand_kinds[ci] = (row_kind, col_kind) 1D transform pair."""
+    dc_idx = next((i for i, (m, _d) in enumerate(cands)
+                   if m == intra.DC_PRED), -1)
+    paeth_idx = next((i for i, (m, _d) in enumerate(cands)
+                      if m == intra.PAETH_PRED), -1)
+    group_kinds = []
+    for kk in cand_kinds:
+        if kk not in group_kinds:
+            group_kinds.append(kk)
     nn = bs * bs
     # edge layout (ops/intra_lin.py): above_ext 0..2bs-1, left_ext
     # 2bs..4bs-1, then zero pad to K0, corner at K0, ha/hl flags after.
-    K0 = 128                        # 128-aligned matmul block
+    K0 = 128                        # 128-aligned edge block
     assert 4 * bs <= K0
     CNR = K0
     Ep = K0 + 8
+    KM = K0 + 8                     # matmul K incl. corner row (flags 0)
     R = Dp * B
     LB = B * bs                     # boundary-buffer lane count
     LBp = ((LB + 127) // 128) * 128
@@ -198,17 +207,21 @@ def _make_kernel(*, B, Dp, bs, bh, bw, h, w, vh, n_cand, cands, tx_size,
     rv = (vh - 1) // bs             # block row holding the last valid row
     vm = (vh - 1) % bs
 
-    def kernel(sched_ref, qi_ref, qf_ref, cp_ref, gl_ref, src_ref, w_ref,
-               wlo_ref, w1_ref, mi_ref, lev_ref, rec_ref,
+    def kernel(sched_ref, qi_ref, qf_ref, gid_ref, gl_ref, src_ref, w_ref,
+               wlo_ref, mi_ref, lev_ref, rec_ref,
                rowbuf, colbuf, edges_ref, bc_ref, bi_ref, blev_ref,
-               brec_ref):
-        # rowbuf [bh*bw, LB]: row r*bw+c lane b*bs+j = bottom-row pixel j
-        # of block (r, c) frame b; colbuf [bh*bw, LB]: row c*bh+r lane
-        # b*bs+i = right-col pixel i.  Dynamic indexing stays on the
-        # SUBLANE dim (Mosaic: lane offsets must be 128-aligned).
+               brec_ref, pred_ref, levs_ref, recs_ref):
+        # Grid = (steps, candidates): the program holds ONE txfm chain
+        # (an unrolled 13-candidate body blew Mosaic's compile budget);
+        # ci sweeps candidates, scratch carries the running best.
+        # rowbuf [bh*bw, LBp]: row r*bw+c lane b*bs+j = bottom-row pixel
+        # j of block (r, c) frame b; colbuf row c*bh+r = right cols.
+        # Dynamic indexing stays on SUBLANE dims; dynamic lane offsets
+        # are 128-aligned (Mosaic requirements).
         i = pl.program_id(0)
+        ci = pl.program_id(1)
 
-        @pl.when(i == 0)
+        @pl.when((i == 0) & (ci == 0))
         def _init():
             rowbuf[...] = jnp.zeros((bh * bw, LBp), jnp.int32)
             colbuf[...] = jnp.zeros((bh * bw, LBp), jnp.int32)
@@ -221,241 +234,223 @@ def _make_kernel(*, B, Dp, bs, bh, bw, h, w, vh, n_cand, cands, tx_size,
 
         ar = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
 
-        # ---- 1. edge assembly into edges_ref [R, Ep] (f32) ----------
-        # one boundary-row load per lane, then static [1, bs] lane
-        # slices per frame (Mosaic: no lane<->sublane shape casts)
-        for l in range(Dp):
-            r = sched_ref[0, l, 0]
-            c = sched_ref[0, l, 1]
-            has_tr = sched_ref[0, l, 3]
-            has_bl = sched_ref[0, l, 4]
-            y = r * bs
-            rm1 = jnp.maximum(r - 1, 0)
-            cm1 = jnp.maximum(c - 1, 0)
-            ha = r > 0
-            hl = c > 0
+        # ---- 1. edge assembly into edges_ref [R, Ep] (f32), at ci==0
+        @pl.when(ci == 0)
+        def _edges():
+            for l in range(Dp):
+                r = sched_ref[0, l, 0]
+                c = sched_ref[0, l, 1]
+                has_tr = sched_ref[0, l, 3]
+                has_bl = sched_ref[0, l, 4]
+                y = r * bs
+                rm1 = jnp.maximum(r - 1, 0)
+                cm1 = jnp.maximum(c - 1, 0)
+                ha = r > 0
+                hl = c > 0
 
-            arow = rowbuf[pl.ds(rm1 * bw + c, 1), :]           # [1, LBp]
-            lrow = colbuf[pl.ds(cm1 * bh + r, 1), :]
-            crow = rowbuf[pl.ds(rm1 * bw + cm1, 1), :]
-            trow = rowbuf[pl.ds(rm1 * bw + jnp.minimum(c + 1, bw - 1), 1), :]
-            b0 = jnp.minimum(r + 1, bh - 1)
-            brow = colbuf[pl.ds(cm1 * bh + b0, 1), :]
-            vrow = colbuf[pl.ds(cm1 * bh + rv, 1), :]
-            lmask = y + ar <= vh - 1                           # [1, bs]
-            bmask = b0 * bs + ar <= vh - 1
-            for b in range(B):
-                sl = lambda row2: row2[:, b * bs:(b + 1) * bs]
-                above_real = sl(arow)                          # [1, bs]
-                vend = vrow[:, b * bs + vm:b * bs + vm + 1]    # [1, 1]
-                left_real = jnp.where(lmask, sl(lrow), vend)
-                corner_real = crow[:, b * bs + bs - 1:b * bs + bs]
-                tr_real = sl(trow)
-                bl_real = jnp.where(bmask, sl(brow), vend)
+                arow = rowbuf[pl.ds(rm1 * bw + c, 1), :]       # [1, LBp]
+                lrow = colbuf[pl.ds(cm1 * bh + r, 1), :]
+                crow = rowbuf[pl.ds(rm1 * bw + cm1, 1), :]
+                trow = rowbuf[pl.ds(rm1 * bw +
+                                    jnp.minimum(c + 1, bw - 1), 1), :]
+                b0 = jnp.minimum(r + 1, bh - 1)
+                brow = colbuf[pl.ds(cm1 * bh + b0, 1), :]
+                vrow = colbuf[pl.ds(cm1 * bh + rv, 1), :]
+                lmask = y + ar <= vh - 1                       # [1, bs]
+                bmask = b0 * bs + ar <= vh - 1
+                for b in range(B):
+                    sl = lambda row2: row2[:, b * bs:(b + 1) * bs]
+                    above_real = sl(arow)                      # [1, bs]
+                    vend = vrow[:, b * bs + vm:b * bs + vm + 1]
+                    left_real = jnp.where(lmask, sl(lrow), vend)
+                    corner_real = crow[:, b * bs + bs - 1:b * bs + bs]
+                    tr_real = sl(trow)
+                    bl_real = jnp.where(bmask, sl(brow), vend)
 
-                above = jnp.where(ha, above_real,
-                                  jnp.where(hl, left_real[:, 0:1],
-                                            base - 1))
-                left = jnp.where(hl, left_real,
-                                 jnp.where(ha, above_real[:, 0:1],
-                                           base + 1))
-                corner = jnp.where(ha & hl, corner_real,
-                                   jnp.where(ha, above_real[:, 0:1],
-                                             jnp.where(hl,
-                                                       left_real[:, 0:1],
-                                                       base)))
-                tr = jnp.where(has_tr > 0, tr_real, above[:, bs - 1:bs])
-                bl = jnp.where(has_bl > 0, bl_real, left[:, bs - 1:bs])
-                haf = jnp.where(ha, 1, 0)[None, None]
-                hlf = jnp.where(hl, 1, 0)[None, None]
-                pieces = [above, tr, left, bl]
-                if K0 > 4 * bs:
-                    pieces.append(jnp.zeros((1, K0 - 4 * bs), jnp.int32))
-                pieces += [corner, haf, hlf,
-                           jnp.zeros((1, Ep - K0 - 3), jnp.int32)]
-                row = jnp.concatenate(pieces, axis=1)
-                edges_ref[l * B + b:l * B + b + 1, :] = \
-                    row.astype(jnp.float32)
+                    above = jnp.where(ha, above_real,
+                                      jnp.where(hl, left_real[:, 0:1],
+                                                base - 1))
+                    left = jnp.where(hl, left_real,
+                                     jnp.where(ha, above_real[:, 0:1],
+                                               base + 1))
+                    corner = jnp.where(
+                        ha & hl, corner_real,
+                        jnp.where(ha, above_real[:, 0:1],
+                                  jnp.where(hl, left_real[:, 0:1], base)))
+                    tr = jnp.where(has_tr > 0, tr_real,
+                                   above[:, bs - 1:bs])
+                    bl = jnp.where(has_bl > 0, bl_real,
+                                   left[:, bs - 1:bs])
+                    haf = jnp.where(ha, 1, 0)[None, None]
+                    hlf = jnp.where(hl, 1, 0)[None, None]
+                    pieces = [above, tr, left, bl]
+                    if K0 > 4 * bs:
+                        pieces.append(jnp.zeros((1, K0 - 4 * bs),
+                                                jnp.int32))
+                    pieces += [corner, haf, hlf,
+                               jnp.zeros((1, Ep - K0 - 3), jnp.int32)]
+                    row = jnp.concatenate(pieces, axis=1)
+                    edges_ref[l * B + b:l * B + b + 1, :] = \
+                        row.astype(jnp.float32)
+            bc_ref[...] = jnp.full((R, 1), 3e38, jnp.float32)
+            bi_ref[...] = jnp.full((R, 1), 10000, jnp.int32)
 
         edges = edges_ref[...]
-        ebf = edges[:, :K0].astype(jnp.bfloat16)
-        above_all = edges[:, 0:bs]                         # [R, bs] f32
+        above_all = edges[:, 0:bs]
         left_all = edges[:, 2 * bs:3 * bs]
         corner_all = edges[:, CNR:CNR + 1]
-        ha_all = edges[:, CNR + 1:CNR + 2]                 # [R, 1]
-        hl_all = edges[:, CNR + 2:CNR + 3]
+        ha_ = edges[:, CNR + 1:CNR + 2] > 0
+        hl_ = edges[:, CNR + 2:CNR + 3] > 0
+        src3 = src_ref[0].reshape(R, bs, bs).astype(jnp.int32)
 
-        src = src_ref[0].reshape(R, bs, bs).astype(jnp.int32)
+        def stack_rows(rows):
+            return jnp.stack(rows, axis=1)                 # [R, bs, bs]
 
-        bc_ref[...] = jnp.full((R, 1), 3e38, jnp.float32)
-        bi_ref[...] = jnp.full((R, 1), 10000, jnp.int32)
+        # ---- 2. prediction for candidate ci -> pred_ref -------------
+        @pl.when(ci == dc_idx)
+        def _pred_dc():
+            sa = jnp.sum(above_all, axis=1, keepdims=True)
+            sl_ = jnp.sum(left_all, axis=1, keepdims=True)
+            both = jnp.floor((sa + sl_ + bs) * (1.0 / (2 * bs)))
+            onlya = jnp.floor((sa + bs // 2) * (1.0 / bs))
+            onlyl = jnp.floor((sl_ + bs // 2) * (1.0 / bs))
+            dc = jnp.where(ha_ & hl_, both,
+                           jnp.where(ha_, onlya,
+                                     jnp.where(hl_, onlyl, float(base))))
+            dc2 = jnp.broadcast_to(dc.astype(jnp.int32), (R, bs))
+            pred_ref[...] = stack_rows([dc2] * bs)
 
+        @pl.when(ci == paeth_idx)
+        def _pred_paeth():
+            ai = above_all.astype(jnp.int32)
+            li = left_all.astype(jnp.int32)
+            t3 = stack_rows([ai] * bs)
+            l3 = stack_rows([jnp.broadcast_to(li[:, k:k + 1], (R, bs))
+                             for k in range(bs)])
+            tl3 = stack_rows(
+                [jnp.broadcast_to(corner_all.astype(jnp.int32),
+                                  (R, bs))] * bs)
+            bse = t3 + l3 - tl3
+            pt = jnp.abs(bse - t3)
+            plf = jnp.abs(bse - l3)
+            ptl = jnp.abs(bse - tl3)
+            pred_ref[...] = jnp.where((plf <= pt) & (plf <= ptl), l3,
+                                      jnp.where(pt <= ptl, t3, tl3))
+
+        @pl.when((ci != dc_idx) & (ci != paeth_idx))
+        def _pred_lin():
+            # K covers above_ext/left_ext AND the corner (row 128);
+            # flag/pad rows have zero weights
+            ebf = edges[:, :KM].astype(jnp.bfloat16)
+            whi = w_ref[...]              # per-candidate slice (BlockSpec)
+            wlo = wlo_ref[...]
+            addv = qf_ref[0, 4 + ci]
+            sclv = qf_ref[0, 4 + n_cand + ci]
+            dn = (((1,), (0,)), ((), ()))
+            rows = []
+            for k in range(bs):
+                acc = 2.0 * jax.lax.dot_general(
+                    ebf, whi[:, k * bs:(k + 1) * bs], dn,
+                    preferred_element_type=jnp.float32) + \
+                    jax.lax.dot_general(
+                        ebf, wlo[:, k * bs:(k + 1) * bs], dn,
+                        preferred_element_type=jnp.float32)
+                pk = jnp.floor((acc + addv) * sclv)
+                rows.append(jnp.clip(pk.astype(jnp.int32), 0, pmax))
+            pred_ref[...] = stack_rows(rows)
+
+        # ---- 3. normative chain (per distinct tx-kind group) --------
         ii = jax.lax.broadcasted_iota(jnp.int32, (1, bs, bs), 1)
         jj = jax.lax.broadcasted_iota(jnp.int32, (1, bs, bs), 2)
         pos00 = (ii == 0) & (jj == 0)
         dqv = jnp.where(pos00, dqdc, dqac)
         rcp = jnp.where(pos00, rcp_dc, rcp_ac)
+        gid = gid_ref[0, ci]
 
-        def eval_cand(ci, rk, ck):
-            """ci: traced candidate index (class read from cp_ref)."""
-            cls = cp_ref[0, ci]
+        for g, (rk, ck) in enumerate(group_kinds):
+            @pl.when(gid == g)
+            def _chain(rk=rk, ck=ck):
+                pred3 = pred_ref[...]
+                resid = src3 - pred3
+                cf = _fwd2d(resid, bs, rk, ck, bd)
+                scaled = jnp.abs(cf) << shift_q
+                rounding = (dqv * 48) >> 7
+                lv = _exact_div(scaled + rounding, dqv, rcp)
+                lv = jnp.minimum(lv, (1 << 15) - 1)
+                levs_ref[...] = jnp.where(cf < 0, -lv, lv)
+                dq = ((lv * dqv) & 0xFFFFFF) >> shift_q
+                dq = jnp.where(cf < 0, -dq, dq)
+                dq = jnp.clip(dq, -(1 << (bd + 7)), (1 << (bd + 7)) - 1)
+                inv = _inv2d(dq, bs, rk, ck, bd)
+                res = jnp.clip(inv, -lim_res - 1, lim_res)
+                recs_ref[...] = jnp.clip(pred3 + res, 0, pmax)
 
-            def pred_lin():
-                # W is split 2*Whi + Wlo: combined smooth weights reach
-                # 503, beyond bf16's exact-integer range (256)
-                whi = w_ref[:, pl.ds(ci * nn, nn)]
-                wlo = wlo_ref[:, pl.ds(ci * nn, nn)]
-                dn = (((1,), (0,)), ((), ()))
-                acc = 2.0 * jax.lax.dot_general(
-                    ebf, whi, dn, preferred_element_type=jnp.float32) + \
-                    jax.lax.dot_general(
-                        ebf, wlo, dn, preferred_element_type=jnp.float32)
-                acc = acc + corner_all * w1_ref[:, pl.ds(ci * nn, nn)]
-                addv = qf_ref[0, 4 + ci]
-                sclv = qf_ref[0, 4 + n_cand + ci]
-                p = jnp.floor((acc + addv) * sclv)
-                p3 = jnp.stack([p[:, bs * j:bs * (j + 1)]
-                                for j in range(bs)], axis=1)
-                return jnp.clip(p3.astype(jnp.int32), 0, pmax)
-
-            def pred_dc():
-                sa = jnp.sum(above_all, axis=1, keepdims=True)
-                sl = jnp.sum(left_all, axis=1, keepdims=True)
-                both = jnp.floor((sa + sl + bs) * (1.0 / (2 * bs)))
-                onlya = jnp.floor((sa + bs // 2) * (1.0 / bs))
-                onlyl = jnp.floor((sl + bs // 2) * (1.0 / bs))
-                ha_ = ha_all > 0
-                hl_ = hl_all > 0
-                dc = jnp.where(ha_ & hl_, both,
-                               jnp.where(ha_, onlya,
-                                         jnp.where(hl_, onlyl,
-                                                   float(base))))
-                return jnp.broadcast_to(
-                    dc.astype(jnp.int32)[:, :, None], (R, bs, bs))
-
-            def pred_paeth():
-                t = jnp.broadcast_to(
-                    above_all.astype(jnp.int32)[:, None, :], (R, bs, bs))
-                lcol = jnp.stack([left_all[:, j:j + 1]
-                                  for j in range(bs)], axis=1)
-                lv = jnp.broadcast_to(lcol.astype(jnp.int32), (R, bs, bs))
-                tl = jnp.broadcast_to(
-                    corner_all.astype(jnp.int32)[:, :, None], (R, bs, bs))
-                bse = t + lv - tl
-                pt = jnp.abs(bse - t)
-                plf = jnp.abs(bse - lv)
-                ptl = jnp.abs(bse - tl)
-                return jnp.where((plf <= pt) & (plf <= ptl), lv,
-                                 jnp.where(pt <= ptl, t, tl))
-
-            if _PROBE == 2:
-                pred = pred_dc()
-            elif _PROBE == 3:
-                pred = jax.lax.cond(cls == CLS_LIN, pred_lin, pred_dc)
-            else:
-                pred = jax.lax.cond(
-                    cls == CLS_LIN, pred_lin,
-                    lambda: jax.lax.cond(cls == CLS_DC, pred_dc,
-                                         pred_paeth))
-
-            if _PROBE in (2, 3):
-                lev = pred
-                rec = pred
-                sse = jnp.sum((src - rec) ** 2, axis=(1, 2))[:, None]
-                cost = sse.astype(jnp.float32) + ci.astype(jnp.float32)
-                prev_c = bc_ref[...]
-                prev_i = bi_ref[...]
-                better = (cost < prev_c) | ((cost == prev_c) &
-                                            (ci < prev_i))
-                bc_ref[...] = jnp.where(better, cost, prev_c)
-                bi_ref[...] = jnp.where(better, ci, prev_i)
-                b3 = better[:, :, None]
-                blev_ref[...] = jnp.where(b3, lev, blev_ref[...])
-                brec_ref[...] = jnp.where(b3, rec, brec_ref[...])
-                return
-            resid = src - pred
-            cf = _fwd2d(resid, bs, rk, ck, bd)
-            # quantize (deadzone, quantize_dq)
-            scaled = jnp.abs(cf) << shift_q
-            rounding = (dqv * 48) >> 7
-            lv = _exact_div(scaled + rounding, dqv, rcp)
-            lv = jnp.minimum(lv, (1 << 15) - 1)
-            lev = jnp.where(cf < 0, -lv, lv)
-            # dequantize
-            dq = ((lv * dqv) & 0xFFFFFF) >> shift_q
-            dq = jnp.where(cf < 0, -dq, dq)
-            dq = jnp.clip(dq, -(1 << (bd + 7)), (1 << (bd + 7)) - 1)
-            inv = _inv2d(dq, bs, rk, ck, bd)
-            res = jnp.clip(inv, -lim_res - 1, lim_res)
-            rec = jnp.clip(pred + res, 0, pmax)
-            sse = jnp.sum((src - rec) ** 2, axis=(1, 2))[:, None]
-            # residual-bit model (_resid_bits)
-            nnz = jnp.sum((lev != 0).astype(jnp.int32),
-                          axis=(1, 2))[:, None].astype(jnp.float32)
-            lbits = jnp.sum(jnp.log2(1.0 + jnp.abs(lev).astype(
-                jnp.float32)), axis=(1, 2))[:, None]
-            if bs >= 32:
-                est = 25.7 + 2.43 * nnz + 1.83 * lbits
-            else:
-                est = 16.2 + 2.47 * nnz + 1.58 * lbits
-            rbits = jnp.where(nnz > 0, est, 1.0)
-            mrate = qf_ref[0, 4 + 2 * n_cand + ci]
-            cost = sse.astype(jnp.float32) + lam * (mrate + rbits)
-            if paired:
-                # u/v pair sums via static sublane slices (no lane
-                # reshapes): rows l*B+b pair with l*B+b+B/2
-                rows = []
-                for l in range(Dp):
-                    cu = cost[l * B:l * B + B // 2]
-                    cv = cost[l * B + B // 2:(l + 1) * B]
-                    pair = cu + cv
-                    rows += [pair, pair]
-                cost = jnp.concatenate(rows, axis=0)
-            prev_c = bc_ref[...]
-            prev_i = bi_ref[...]
-            better = (cost < prev_c) | ((cost == prev_c) & (ci < prev_i))
-            bc_ref[...] = jnp.where(better, cost, prev_c)
-            bi_ref[...] = jnp.where(better, ci, prev_i)
-            b3 = better[:, :, None]
-            blev_ref[...] = jnp.where(b3, lev, blev_ref[...])
-            brec_ref[...] = jnp.where(b3, rec, brec_ref[...])
-
-        if _PROBE == 1:
-            blev_ref[...] = src
-            brec_ref[...] = (edges_ref[0, 0] + src).astype(jnp.int32)
-            bi_ref[...] = jnp.zeros((R, 1), jnp.int32)
+        # ---- 4. RD cost + running first-minimum select --------------
+        lev = levs_ref[...]
+        rec = recs_ref[...]
+        d = src3 - rec
+        sse = jnp.sum(jnp.sum(d * d, axis=1), axis=1, keepdims=True)
+        nz = (lev != 0).astype(jnp.int32)
+        nnz = jnp.sum(jnp.sum(nz, axis=1), axis=1,
+                      keepdims=True).astype(jnp.float32)
+        lb = jnp.log2(1.0 + jnp.abs(lev).astype(jnp.float32))
+        lbits = jnp.sum(jnp.sum(lb, axis=1), axis=1, keepdims=True)
+        if bs >= 32:
+            est = 25.7 + 2.43 * nnz + 1.83 * lbits
         else:
-            for g, (rk, ck, idxs) in enumerate(groups):
+            est = 16.2 + 2.47 * nnz + 1.58 * lbits
+        rbits = jnp.where(nnz > 0, est, 1.0)
+        mrate = qf_ref[0, 4 + 2 * n_cand + ci]
+        cost = sse.astype(jnp.float32) + lam * (mrate + rbits)
+        if paired:
+            prows = []
+            for l in range(Dp):
+                cu = cost[l * B:l * B + B // 2]
+                cv = cost[l * B + B // 2:(l + 1) * B]
+                pair = cu + cv
+                prows += [pair, pair]
+            cost = jnp.concatenate(prows, axis=0)
+        prev_c = bc_ref[...]
+        prev_i = bi_ref[...]
+        better = (cost < prev_c) | ((cost == prev_c) & (ci < prev_i))
+        bc_ref[...] = jnp.where(better, cost, prev_c)
+        bi_ref[...] = jnp.where(better, ci, prev_i)
+        # bool vregs cannot be stacked (invalid i1->i32 vreg cast):
+        # carry the mask as int32 and compare back
+        b2 = jnp.broadcast_to(better.astype(jnp.int32), (R, bs))
+        b3 = stack_rows([b2] * bs) > 0
+        blev_ref[...] = jnp.where(b3, lev, blev_ref[...])
+        brec_ref[...] = jnp.where(b3, rec, brec_ref[...])
 
-                def body(k, _, rk=rk, ck=ck, g=g):
-                    eval_cand(gl_ref[g, k], rk, ck)
-                    return 0
-                jax.lax.fori_loop(0, len(idxs), body, 0)
+        # ---- 5. outputs + boundary update at the last candidate -----
+        @pl.when(ci == n_cand - 1)
+        def _finish():
+            mi_ref[0] = bi_ref[...]
+            lev_ref[0] = blev_ref[...].reshape(
+                Dp, B, bs, bs).astype(jnp.int16)
+            rec_ref[0] = brec_ref[...].reshape(
+                Dp, B, bs, bs).astype(jnp.uint8)
+            rec3 = brec_ref[...]
+            bot = rec3[:, bs - 1, :]                       # [R, bs]
+            recT = jnp.swapaxes(rec3, -1, -2)
+            rcol = recT[:, bs - 1, :]                      # right column
+            pad1 = ([jnp.zeros((1, LBp - LB), jnp.int32)]
+                    if LBp > LB else [])
+            for l in range(Dp):
+                r = sched_ref[0, l, 0]
+                c = sched_ref[0, l, 1]
+                valid = sched_ref[0, l, 2]
 
-        # ---- outputs + boundary update ------------------------------
-        mi_ref[0] = bi_ref[...]
-        blev = blev_ref[...]
-        brec = brec_ref[...]
-        lev_ref[0] = blev.reshape(Dp, B, bs, bs).astype(jnp.int16)
-        rec_ref[0] = brec.reshape(Dp, B, bs, bs).astype(jnp.uint8)
-        rec3 = brec.reshape(Dp, B, bs, bs)
-        recT = jnp.swapaxes(rec3, -1, -2)
-        pad1 = ([jnp.zeros((1, LBp - LB), jnp.int32)] if LBp > LB else [])
-        for l in range(Dp):
-            r = sched_ref[0, l, 0]
-            c = sched_ref[0, l, 1]
-            valid = sched_ref[0, l, 2]
-
-            @pl.when(valid > 0)
-            def _upd(l=l, r=r, c=c):
-                br = jnp.concatenate(
-                    [rec3[l, b, bs - 1:bs, :] for b in range(B)] + pad1,
-                    axis=1)
-                rc = jnp.concatenate(
-                    [recT[l, b, bs - 1:bs, :] for b in range(B)] + pad1,
-                    axis=1)
-                rowbuf[pl.ds(r * bw + c, 1), :] = br
-                colbuf[pl.ds(c * bh + r, 1), :] = rc
+                @pl.when(valid > 0)
+                def _upd(l=l, r=r, c=c):
+                    br = jnp.concatenate(
+                        [bot[l * B + b:l * B + b + 1, :]
+                         for b in range(B)] + pad1, axis=1)
+                    rc = jnp.concatenate(
+                        [rcol[l * B + b:l * B + b + 1, :]
+                         for b in range(B)] + pad1, axis=1)
+                    rowbuf[pl.ds(r * bw + c, 1), :] = br
+                    colbuf[pl.ds(c * bh + r, 1), :] = rc
 
     return kernel
 
@@ -509,17 +504,20 @@ def _wavefront_pl_impl(src, rd, bs: int, tx_size: int, modes: tuple,
     sched_np, Dp = _sched_tables(bh, bw)
     S = sched_np.shape[0]
     R = Dp * B
-    groups = _groups_for(cands, T.DCT_DCT, uv_tx, tx_size)
+    cand_kinds = tuple(
+        _tx_kinds(T.uv_intra_tx_type(m, tx_size) if uv_tx else T.DCT_DCT)
+        for m, _d in cands)
 
     Wm, addv, shiftv, linear = build_w(bs, cands)
-    W0 = np.zeros((K0, C * nn), np.float32)
+    KM = K0 + 8
+    W0 = np.zeros((KM, C * nn), np.float32)
     W0[:4 * bs] = Wm[:4 * bs]
+    W0[K0] = Wm[4 * bs]                     # corner row at edge col 128
     W0i = W0.astype(np.int32)               # integer weights <= 511
     assert np.array_equal(W0i, W0) and W0i.max() < 512
     # split 2*hi + lo so each bf16 factor is an exact integer <= 255
     Whi = (W0i >> 1).astype(jnp.bfloat16)
     Wlo = (W0i & 1).astype(jnp.bfloat16)
-    W1 = Wm[4 * bs:4 * bs + 1].astype(np.float32)      # corner row
     scalev = (1.0 / (1 << shiftv)).astype(np.float32)
 
     # per-step source blocks [S, Dp, B, bs, bs] int16
@@ -537,38 +535,43 @@ def _wavefront_pl_impl(src, rd, bs: int, tx_size: int, modes: tuple,
         mode_rate.astype(jnp.float32)])[None, :]
     cp = jnp.asarray(np.array([_cls(m) for m, _ in cands],
                               np.int32))[None, :]
-    gmax = max(len(g) for _, _, g in groups)
-    gl_np = np.zeros((len(groups), gmax), np.int32)
-    for g, (_, _, idxs) in enumerate(groups):
-        gl_np[g, :len(idxs)] = idxs
+    gl_np = np.zeros((1, 1), np.int32)
 
+    group_kinds = []
+    for kk in cand_kinds:
+        if kk not in group_kinds:
+            group_kinds.append(kk)
+    gid_np = np.array([group_kinds.index(kk) for kk in cand_kinds],
+                      np.int32)[None, :]
     kernel = _make_kernel(B=B, Dp=Dp, bs=bs, bh=bh, bw=bw, h=h, w=w,
                           vh=vh, n_cand=C, cands=cands, tx_size=tx_size,
-                          groups=groups, bd=bd, paired=paired)
+                          cand_kinds=cand_kinds, bd=bd, paired=paired)
 
     mi_d, lev_d, rec_d = pl.pallas_call(
         kernel,
-        grid=(S,),
+        grid=(S, C),
         in_specs=[
-            pl.BlockSpec((1, Dp, 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, Dp, 8), lambda i, ci: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0),
+            pl.BlockSpec((1, 4), lambda i, ci: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4 + 3 * C), lambda i: (0, 0),
+            pl.BlockSpec((1, 4 + 3 * C), lambda i, ci: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0),
+            pl.BlockSpec((1, C), lambda i, ci: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((len(groups), gmax), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, ci: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Dp, B, bs, bs), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((K0, C * nn), lambda i: (0, 0)),
-            pl.BlockSpec((K0, C * nn), lambda i: (0, 0)),
-            pl.BlockSpec((1, C * nn), lambda i: (0, 0)),
+            pl.BlockSpec((1, Dp, B, bs, bs),
+                         lambda i, ci: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((KM, nn), lambda i, ci: (0, ci)),
+            pl.BlockSpec((KM, nn), lambda i, ci: (0, ci)),
         ],
         out_specs=[
-            pl.BlockSpec((1, R, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, Dp, B, bs, bs), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, Dp, B, bs, bs), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, R, 1), lambda i, ci: (i, 0, 0)),
+            pl.BlockSpec((1, Dp, B, bs, bs),
+                         lambda i, ci: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, Dp, B, bs, bs),
+                         lambda i, ci: (i, 0, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((S, R, 1), jnp.int32),
@@ -583,12 +586,17 @@ def _wavefront_pl_impl(src, rd, bs: int, tx_size: int, modes: tuple,
             pltpu.VMEM((R, 1), jnp.int32),
             pltpu.VMEM((R, bs, bs), jnp.int32),
             pltpu.VMEM((R, bs, bs), jnp.int32),
+            pltpu.VMEM((R, bs, bs), jnp.int32),
+            pltpu.VMEM((R, bs, bs), jnp.int32),
+            pltpu.VMEM((R, bs, bs), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(sched_np), qi, qf, cp, jnp.asarray(gl_np), srcsteps,
-      jnp.asarray(Whi), jnp.asarray(Wlo), jnp.asarray(W1))
+    )(jnp.asarray(sched_np), qi, qf, jnp.asarray(gid_np),
+      jnp.asarray(gl_np), srcsteps,
+      jnp.asarray(Whi), jnp.asarray(Wlo))
 
     # un-diagonalize (same layout contract as _wavefront_body)
     flat_idx = sched_np[:, :, 0] * bw + sched_np[:, :, 1]

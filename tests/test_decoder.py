@@ -16,7 +16,9 @@ def _synth(w, h, seed):
     return y, u, v
 
 
-@pytest.mark.parametrize("q,lf", [(80, 0), (150, -1), (220, -1)])
+@pytest.mark.parametrize("q,lf", [
+    pytest.param(80, 0, marks=pytest.mark.slow),   # low-q: minutes
+    (150, -1), (220, -1)])
 def test_roundtrip_own_decoder(q, lf):
     from svtav1_tpu.decoder.decoder import Decoder
     from svtav1_tpu.encoder.intra_encoder import EncoderConfig, IntraEncoder

@@ -47,6 +47,7 @@ def _pan_frames(w, h, n, dx=3, dy=1, seed=0):
     return out
 
 
+@pytest.mark.slow
 def test_gm_search_and_roundtrip():
     """Panning clip: gm is detected (= the true pan), signaled, and the
     stream round-trips bit-exactly in our decoder."""

@@ -9,6 +9,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow      # interpret-mode compiles are minutes
+
 from svtav1_tpu.encoder.intra_encoder import CAND_MODES
 from svtav1_tpu.encoder.wavefront import encode_plane_wavefront
 from svtav1_tpu.pallas.wavefront_kernel import encode_plane_wavefront_pl
