@@ -62,7 +62,7 @@ def _make_enc(width=1920, height=1080):
                                       part_search=False))
 
 
-def bench_device_only(enc, frames, batch=4, n_iter=3):
+def bench_device_only(enc, frames, batch=8, n_iter=3):
     """Device wavefront fps — REAL-synced: completion is proven by
     fetching a scalar reduction of the outputs, NOT block_until_ready.
     On the axon tunnel block_until_ready returns before execution
@@ -84,7 +84,7 @@ def bench_device_only(enc, frames, batch=4, n_iter=3):
     return batch / dt
 
 
-def bench_e2e_intra(enc, frames, batch=4):
+def bench_e2e_intra(enc, frames, batch=8):
     """End-to-end: frames → AV1 payloads, device/host pipelined.
     TRUE 1080p (SB-padded internally, m=14 bottom-edge geometry).
 
@@ -149,7 +149,7 @@ def main():
     t_start = time.monotonic()
     try:
         enc = _make_enc()
-        frames = synth_frames(1920, 1080, 12)
+        frames = synth_frames(1920, 1080, 24)
         dev = bench_device_only(enc, frames)
         RESULT["device_only_fps"] = round(dev, 3)
         print(f"device-only wavefront (real-synced): {dev:.1f} fps",
