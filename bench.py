@@ -148,17 +148,31 @@ def main():
     signal.alarm(budget)
     t_start = time.monotonic()
     try:
+        # progressive results: the remote compile service has minutes of
+        # variance, so land a real batch-4 number first (fast compile),
+        # then upgrade to batch 8 (~2x steady fps: the tunnel is
+        # latency-bound) only while well inside the budget.  SIGALRM
+        # emits whatever RESULT holds.
         enc = _make_enc()
         frames = synth_frames(1920, 1080, 24)
-        dev = bench_device_only(enc, frames)
+        e2e = bench_e2e_intra(enc, frames[:12], batch=4)
+        RESULT["value"] = round(e2e, 3)
+        dev = bench_device_only(enc, frames, batch=4)
         RESULT["device_only_fps"] = round(dev, 3)
         print(f"device-only wavefront (real-synced): {dev:.1f} fps",
               file=sys.stderr)
-        e2e = bench_e2e_intra(enc, frames)
-        RESULT["value"] = round(e2e, 3)
+        if time.monotonic() - t_start < budget * 0.45:
+            try:
+                e2e8 = bench_e2e_intra(enc, frames, batch=8)
+                RESULT["e2e_fps_batch8"] = round(e2e8, 3)
+                if e2e8 > RESULT["value"]:
+                    RESULT["value"] = round(e2e8, 3)
+            except Exception:
+                import traceback
+                traceback.print_exc()
         # the pyramid (quality) path compiles several more large
         # programs; only attempt it while well inside the budget
-        if time.monotonic() - t_start < budget * 0.5:
+        if time.monotonic() - t_start < budget * 0.4:
             try:
                 pyr = bench_pyramid()
                 RESULT["1080p_pyramid_e2e_fps"] = round(pyr, 3)
